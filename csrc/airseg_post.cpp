@@ -1,0 +1,439 @@
+// airseg_post — native post-processing kernels for the TPU airway framework.
+//
+// TPU-native equivalents of the third-party native components the
+// reference leans on (SURVEY.md §2.9): connected-components-3d (cc3d),
+// skimage skeletonize_3d, and the hysteresis "double threshold
+// iteration" that the reference implements as a pure-Python triple loop
+// (reference train.py:25-49 — three identical copies). These run on the
+// host after device inference; everything here is single-pass cache-
+// friendly C++ exported with a C ABI for ctypes.
+//
+// Build: make -C csrc   (produces libairseg_post.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <cmath>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Union-find connected components (6- or 26-connectivity), two-pass.
+// Replaces cc3d.connected_components (reference util.py:59, train.py:750,
+// test.py:245, weight_br.py:153). Labels are 1..n in first-encounter order;
+// returns the number of components.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t uf_find(std::vector<uint32_t>& parent, uint32_t x) {
+  uint32_t root = x;
+  while (parent[root] != root) root = parent[root];
+  while (parent[x] != root) { uint32_t next = parent[x]; parent[x] = root; x = next; }
+  return root;
+}
+
+static inline void uf_union(std::vector<uint32_t>& parent, uint32_t a, uint32_t b) {
+  a = uf_find(parent, a);
+  b = uf_find(parent, b);
+  if (a != b) parent[std::max(a, b)] = std::min(a, b);
+}
+
+int64_t cc3d_label(const uint8_t* in, int64_t d, int64_t h, int64_t w,
+                   int connectivity, uint32_t* out) {
+  const int64_t hw = h * w;
+  const int64_t n = d * hw;
+  std::memset(out, 0, sizeof(uint32_t) * n);
+  std::vector<uint32_t> parent(1, 0);
+
+  // backward half-neighborhood (offsets with lexicographically negative
+  // leading term) — 13 for 26-conn, 3 for 6-conn
+  int offs[13][3];
+  int n_off = 0;
+  if (connectivity == 6) {
+    int tmp[3][3] = {{-1, 0, 0}, {0, -1, 0}, {0, 0, -1}};
+    for (auto& t : tmp) { offs[n_off][0] = t[0]; offs[n_off][1] = t[1]; offs[n_off][2] = t[2]; n_off++; }
+  } else {
+    for (int dz = -1; dz <= 0; dz++)
+      for (int dy = -1; dy <= 1; dy++)
+        for (int dx = -1; dx <= 1; dx++) {
+          if (dz == 0 && (dy > 0 || (dy == 0 && dx >= 0))) continue;
+          offs[n_off][0] = dz; offs[n_off][1] = dy; offs[n_off][2] = dx; n_off++;
+        }
+  }
+
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++)
+      for (int64_t x = 0; x < w; x++) {
+        const int64_t i = z * hw + y * w + x;
+        if (!in[i]) continue;
+        uint32_t lbl = 0;
+        for (int k = 0; k < n_off; k++) {
+          const int64_t zz = z + offs[k][0], yy = y + offs[k][1], xx = x + offs[k][2];
+          if (zz < 0 || yy < 0 || yy >= h || xx < 0 || xx >= w) continue;
+          const uint32_t nl = out[zz * hw + yy * w + xx];
+          if (!nl) continue;
+          if (!lbl) lbl = nl;
+          else if (nl != lbl) uf_union(parent, lbl, nl);
+        }
+        if (!lbl) {
+          lbl = (uint32_t)parent.size();
+          parent.push_back(lbl);
+        }
+        out[i] = lbl;
+      }
+
+  // flatten + relabel compactly in first-encounter order
+  std::vector<uint32_t> remap(parent.size(), 0);
+  uint32_t next = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (!out[i]) continue;
+    const uint32_t r = uf_find(parent, out[i]);
+    if (!remap[r]) remap[r] = ++next;
+    out[i] = remap[r];
+  }
+  return (int64_t)next;
+}
+
+// component voxel counts for labels 1..n_labels
+void cc3d_counts(const uint32_t* labels, int64_t n, int64_t n_labels,
+                 int64_t* counts) {
+  std::memset(counts, 0, sizeof(int64_t) * n_labels);
+  for (int64_t i = 0; i < n; i++)
+    if (labels[i]) counts[labels[i] - 1]++;
+}
+
+// ---------------------------------------------------------------------------
+// Double-threshold iteration — EXACT reference semantics.
+//
+// The reference's while-loop aliasing executes exactly one full raster
+// sweep in which newly-promoted voxels immediately seed later voxels of
+// the same sweep (in-place propagation; reference train.py:25-49).
+// Neighbor coordinates are CLAMPED to the volume (not skipped), and the
+// comparison runs on pred*255 in float32 — all reproduced here.
+// ---------------------------------------------------------------------------
+
+void dti_sweep(const float* pred, int64_t d, int64_t h, int64_t w,
+               float h_thresh, float l_thresh, uint8_t* out) {
+  const int64_t hw = h * w;
+  const float hi = h_thresh * 255.0f, lo = l_thresh * 255.0f;
+  const int64_t n = d * hw;
+  for (int64_t i = 0; i < n; i++) {
+    const float v = (float)(pred[i] * 255.0f);
+    out[i] = v >= hi ? 1 : 0;
+  }
+  static const int nb[26][3] = {
+      {-1,-1,0},{-1,0,0},{-1,1,0},{0,-1,0},{0,1,0},{1,-1,0},{1,0,0},{1,1,0},
+      {-1,-1,-1},{-1,0,-1},{-1,1,-1},{0,-1,-1},{0,0,-1},{0,1,-1},{1,-1,-1},{1,0,-1},{1,1,-1},
+      {-1,-1,1},{-1,0,1},{-1,1,1},{0,-1,1},{0,0,1},{0,1,1},{1,-1,1},{1,0,1},{1,1,1}};
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++)
+      for (int64_t x = 0; x < w; x++) {
+        const int64_t i = z * hw + y * w + x;
+        if (out[i]) continue;
+        const float v = (float)(pred[i] * 255.0f);
+        if (v >= hi || v < lo) continue;
+        for (int k = 0; k < 26; k++) {
+          int64_t zz = z + nb[k][0], yy = y + nb[k][1], xx = x + nb[k][2];
+          zz = std::max<int64_t>(0, std::min<int64_t>(zz, d - 1));
+          yy = std::max<int64_t>(0, std::min<int64_t>(yy, h - 1));
+          xx = std::max<int64_t>(0, std::min<int64_t>(xx, w - 1));
+          if (out[zz * hw + yy * w + xx]) { out[i] = 1; break; }
+        }
+      }
+}
+
+// ---------------------------------------------------------------------------
+// 3-D medial-axis thinning (curve skeleton).
+//
+// Replaces skimage.morphology.skeletonize_3d (reference ske_and_parse.py:83,
+// weight_br.py:128, ours_skel_parse.py:580). Directional-subiteration
+// thinning in the (26, 6) digital topology: per sub-iteration, border
+// points of one of the 6 face directions that are simple and not curve
+// endpoints are collected in a raster pass, then deleted sequentially
+// with a simplicity re-check (the standard Lee-et-al. style schedule;
+// the Euler-invariant + octree test is replaced by the equivalent
+// Bertrand–Malandain simple-point characterization computed directly on
+// the 3x3x3 neighborhood).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// gather the 3x3x3 neighborhood (center at index 13) with zero padding
+static inline void gather27(const uint8_t* img, int64_t d, int64_t h, int64_t w,
+                            int64_t z, int64_t y, int64_t x, uint8_t nb[27]) {
+  const int64_t hw = h * w;
+  int idx = 0;
+  for (int dz = -1; dz <= 1; dz++)
+    for (int dy = -1; dy <= 1; dy++)
+      for (int dx = -1; dx <= 1; dx++, idx++) {
+        const int64_t zz = z + dz, yy = y + dy, xx = x + dx;
+        nb[idx] = (zz < 0 || zz >= d || yy < 0 || yy >= h || xx < 0 || xx >= w)
+                      ? 0
+                      : img[zz * hw + yy * w + xx];
+      }
+}
+
+static inline int coord(int dz, int dy, int dx) {
+  return (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1);
+}
+
+// condition (a): exactly one 26-component of foreground among the 26
+// neighbors (center excluded)
+static bool one_fg_component26(const uint8_t nb[27]) {
+  bool fg[27];
+  int count = 0;
+  for (int i = 0; i < 27; i++) fg[i] = (i != 13) && nb[i];
+  int seen[27], n_seen = 0;
+  bool visited[27] = {false};
+  int comps = 0;
+  for (int s = 0; s < 27; s++) {
+    if (!fg[s] || visited[s]) continue;
+    comps++;
+    if (comps > 1) return false;
+    // BFS within the 26-neighborhood
+    n_seen = 0;
+    seen[n_seen++] = s;
+    visited[s] = true;
+    for (int q = 0; q < n_seen; q++) {
+      const int c = seen[q];
+      const int cz = c / 9 - 1, cy = (c / 3) % 3 - 1, cx = c % 3 - 1;
+      for (int dz = -1; dz <= 1; dz++)
+        for (int dy = -1; dy <= 1; dy++)
+          for (int dx = -1; dx <= 1; dx++) {
+            if (!dz && !dy && !dx) continue;
+            const int zz = cz + dz, yy = cy + dy, xx = cx + dx;
+            if (zz < -1 || zz > 1 || yy < -1 || yy > 1 || xx < -1 || xx > 1) continue;
+            const int t = coord(zz, yy, xx);
+            if (fg[t] && !visited[t]) { visited[t] = true; seen[n_seen++] = t; }
+          }
+    }
+    (void)count;
+  }
+  return comps == 1;
+}
+
+// condition (b): exactly one 6-component of background within the
+// 18-neighborhood that is 6-adjacent to the center
+static bool one_bg_component6(const uint8_t nb[27]) {
+  // 18-neighborhood: |dz|+|dy|+|dx| <= 2, excluding center
+  auto in18 = [](int i) {
+    const int dz = i / 9 - 1, dy = (i / 3) % 3 - 1, dx = i % 3 - 1;
+    const int m = std::abs(dz) + std::abs(dy) + std::abs(dx);
+    return m >= 1 && m <= 2;
+  };
+  bool bg[27];
+  for (int i = 0; i < 27; i++) bg[i] = in18(i) && !nb[i];
+  static const int faces[6] = {coord(-1,0,0), coord(1,0,0), coord(0,-1,0),
+                               coord(0,1,0), coord(0,0,-1), coord(0,0,1)};
+  bool visited[27] = {false};
+  int comps = 0;
+  for (int f = 0; f < 6; f++) {
+    const int s = faces[f];
+    if (!bg[s] || visited[s]) continue;
+    comps++;
+    if (comps > 1) return false;
+    int seen[27], n_seen = 0;
+    seen[n_seen++] = s;
+    visited[s] = true;
+    for (int q = 0; q < n_seen; q++) {
+      const int c = seen[q];
+      const int cz = c / 9 - 1, cy = (c / 3) % 3 - 1, cx = c % 3 - 1;
+      static const int d6[6][3] = {{-1,0,0},{1,0,0},{0,-1,0},{0,1,0},{0,0,-1},{0,0,1}};
+      for (auto& dd : d6) {
+        const int zz = cz + dd[0], yy = cy + dd[1], xx = cx + dd[2];
+        if (zz < -1 || zz > 1 || yy < -1 || yy > 1 || xx < -1 || xx > 1) continue;
+        const int t = coord(zz, yy, xx);
+        if (bg[t] && !visited[t]) { visited[t] = true; seen[n_seen++] = t; }
+      }
+    }
+  }
+  return comps == 1;
+}
+
+static inline bool is_simple(const uint8_t nb[27]) {
+  return one_fg_component26(nb) && one_bg_component6(nb);
+}
+
+static inline int count_neighbors26(const uint8_t nb[27]) {
+  int c = 0;
+  for (int i = 0; i < 27; i++) c += (i != 13) && nb[i];
+  return c;
+}
+
+}  // namespace
+
+void skeletonize3d(uint8_t* img, int64_t d, int64_t h, int64_t w) {
+  const int64_t hw = h * w;
+  // 6 face directions in the U, D, N, S, E, W schedule (z-, z+, y-, y+, x-, x+)
+  static const int dirs[6][3] = {{-1,0,0},{1,0,0},{0,-1,0},{0,1,0},{0,0,-1},{0,0,1}};
+  std::vector<int64_t> active;
+  active.reserve(1 << 20);
+  for (int64_t i = 0, n = d * hw; i < n; i++)
+    if (img[i]) active.push_back(i);
+
+  std::vector<int64_t> candidates;
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (int dir = 0; dir < 6; dir++) {
+      candidates.clear();
+      for (int64_t i : active) {
+        if (!img[i]) continue;
+        const int64_t z = i / hw, y = (i / w) % h, x = i % w;
+        // border point in this direction: the face neighbor is background
+        const int64_t zz = z + dirs[dir][0], yy = y + dirs[dir][1], xx = x + dirs[dir][2];
+        const bool nb_bg = (zz < 0 || zz >= d || yy < 0 || yy >= h ||
+                            xx < 0 || xx >= w) || !img[zz * hw + yy * w + xx];
+        if (!nb_bg) continue;
+        uint8_t nb[27];
+        gather27(img, d, h, w, z, y, x, nb);
+        if (count_neighbors26(nb) == 1) continue;  // curve endpoint: keep
+        if (!is_simple(nb)) continue;
+        candidates.push_back(i);
+      }
+      // sequential re-check: earlier deletions may invalidate simplicity
+      for (int64_t i : candidates) {
+        const int64_t z = i / hw, y = (i / w) % h, x = i % w;
+        uint8_t nb[27];
+        gather27(img, d, h, w, z, y, x, nb);
+        if (count_neighbors26(nb) == 1) continue;
+        if (!is_simple(nb)) continue;
+        img[i] = 0;
+        changed = true;
+      }
+    }
+    if (changed) {
+      // compact the active set to surviving voxels
+      std::vector<int64_t> next;
+      next.reserve(active.size());
+      for (int64_t i : active)
+        if (img[i]) next.push_back(i);
+      active.swap(next);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Exact squared Euclidean distance transform with nearest-feature indices
+// (Felzenszwalb–Huttenlocher lower-envelope, 3 separable passes).
+// Replaces scipy.ndimage.distance_transform_edt(return_indices=True)
+// (reference weight_br.py:132, 159; ours_skel_parse.py:517; data.py:304).
+// Computes, for every voxel, the squared distance to the nearest zero
+// voxel of `in` and that voxel's linear index.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// 1-D squared-distance lower envelope over a strided line.
+// f: input costs; out_d: output; out_arg: index (along the line) of the
+// nearest parabola source.
+static void edt_1d(const float* f, float* out_d, int32_t* out_arg, int n,
+                   std::vector<int>& v, std::vector<float>& zbuf) {
+  v.resize(n);
+  zbuf.resize(n + 1);
+  int k = 0;
+  v[0] = 0;
+  zbuf[0] = -1e30f;
+  zbuf[1] = 1e30f;
+  for (int q = 1; q < n; q++) {
+    if (f[q] >= 1e29f && f[v[k]] >= 1e29f) { continue; }
+    float s;
+    while (true) {
+      const int p = v[k];
+      s = ((f[q] + q * (float)q) - (f[p] + p * (float)p)) / (2.0f * (q - p));
+      if (s <= zbuf[k]) { k--; continue; }
+      break;
+    }
+    k++;
+    v[k] = q;
+    zbuf[k] = s;
+    zbuf[k + 1] = 1e30f;
+  }
+  k = 0;
+  for (int q = 0; q < n; q++) {
+    while (zbuf[k + 1] < q) k++;
+    const int p = v[k];
+    out_d[q] = (q - p) * (float)(q - p) + f[p];
+    out_arg[q] = p;
+  }
+}
+
+}  // namespace
+
+// out_dist: squared distances (float32). out_idx: 3 planes (z,y,x source
+// coords, int32), each d*h*w. Pass out_idx=null to skip index tracking.
+void edt_sq(const uint8_t* in, int64_t d, int64_t h, int64_t w,
+            float* out_dist, int32_t* out_idx) {
+  const int64_t hw = h * w, n = d * hw;
+  const float INF = 1e30f;
+  std::vector<float> f, dline;
+  std::vector<int32_t> arg;
+  std::vector<int> v;
+  std::vector<float> zbuf;
+  // feature coordinate planes
+  int32_t* iz = out_idx ? out_idx : nullptr;
+  int32_t* iy = out_idx ? out_idx + n : nullptr;
+  int32_t* ix = out_idx ? out_idx + 2 * n : nullptr;
+
+  for (int64_t i = 0; i < n; i++) out_dist[i] = in[i] ? INF : 0.0f;
+  if (out_idx)
+    for (int64_t i = 0; i < n; i++) {
+      iz[i] = (int32_t)(i / hw);
+      iy[i] = (int32_t)((i / w) % h);
+      ix[i] = (int32_t)(i % w);
+    }
+
+  // pass 1: along x
+  f.resize(w); dline.resize(w); arg.resize(w);
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++) {
+      float* row = out_dist + z * hw + y * w;
+      edt_1d(row, dline.data(), arg.data(), (int)w, v, zbuf);
+      for (int64_t x = 0; x < w; x++) {
+        row[x] = dline[x];
+        if (out_idx) ix[z * hw + y * w + x] = arg[x];
+      }
+    }
+
+  // pass 2: along y
+  f.resize(h); dline.resize(h); arg.resize(h);
+  std::vector<int32_t> src_x(h), src_z1(h);
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t x = 0; x < w; x++) {
+      for (int64_t y = 0; y < h; y++) f[y] = out_dist[z * hw + y * w + x];
+      edt_1d(f.data(), dline.data(), arg.data(), (int)h, v, zbuf);
+      if (out_idx)
+        for (int64_t y = 0; y < h; y++) src_x[y] = ix[z * hw + arg[y] * w + x];
+      for (int64_t y = 0; y < h; y++) {
+        out_dist[z * hw + y * w + x] = dline[y];
+        if (out_idx) {
+          iy[z * hw + y * w + x] = arg[y];
+          ix[z * hw + y * w + x] = src_x[y];
+        }
+      }
+    }
+
+  // pass 3: along z
+  f.resize(d); dline.resize(d); arg.resize(d);
+  std::vector<int32_t> sx(d), sy(d);
+  for (int64_t y = 0; y < h; y++)
+    for (int64_t x = 0; x < w; x++) {
+      for (int64_t z = 0; z < d; z++) f[z] = out_dist[z * hw + y * w + x];
+      edt_1d(f.data(), dline.data(), arg.data(), (int)d, v, zbuf);
+      if (out_idx)
+        for (int64_t z = 0; z < d; z++) {
+          sx[z] = ix[arg[z] * hw + y * w + x];
+          sy[z] = iy[arg[z] * hw + y * w + x];
+        }
+      for (int64_t z = 0; z < d; z++) {
+        out_dist[z * hw + y * w + x] = dline[z];
+        if (out_idx) {
+          iz[z * hw + y * w + x] = arg[z];
+          iy[z * hw + y * w + x] = sy[z];
+          ix[z * hw + y * w + x] = sx[z];
+        }
+      }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,282 @@
+"""Scale-Enhanced U-Net, TPU-native functional JAX implementation.
+
+Re-designed from the behavior of the reference PyTorch model
+(reference SE_UNet.py:9-242): a 4-level encoder–decoder over 2-channel
+dual-windowed CT crops in which
+
+  * every conv block is Conv3x3x3 -> InstanceNorm -> LeakyReLU followed
+    by one (`SSEConv`) or two (`SSEConv2`) spatial squeeze-excitation
+    gates (1x1x1 conv -> sigmoid -> multiply), plus a 2-channel 1x1x1
+    "side" head upsampled to full resolution (deep supervision);
+  * each encoder level fuses its three block outputs with a 1x1x1
+    CATConv and adds a detail-injection CATConv of the (pooled) raw
+    input;
+  * two prediction heads consume the concatenation of all side
+    outputs: `pred_en` from the 12 encoder sides (24 ch), `pred_de`
+    from the 6 decoder sides (12 ch), each behind channel-dropout
+    (DropLayer, threshold 0.3) and a 1x1x1 conv. Raw logits out.
+
+Differences from the reference that are *layout/engine*, not behavior:
+  * NDHWC everywhere (TPU-native); weights DHWIO.
+  * Parameters are a flat pytree of dicts — pure functions, pjit-ready.
+  * DropLayer uses explicit JAX PRNG keys instead of global torch RNG.
+  * Activations may run in bfloat16 (norm statistics stay float32).
+
+Channel plan (in -> out per level), identical to the reference:
+  enc L1: 2->8->16->32(dil2), cat(56)->32, + inj(2->32)   sides x3 @ s=1
+  enc L2: 32->32->32(dil2)->64(dil2), cat(128)->64, + inj sides x3 @ s=2
+  enc L3: 64->64->64(dil2)->64(dil2), cat(192)->64, + inj sides x3 @ s=4
+  bottleneck: 64->64->64->64, cat(192)->64               sides x3 @ s=8
+  dec L3: cat(128)->64->64, cat(128)->64                 sides x2 @ s=4
+  dec L2: cat(128)->64->32, cat(96)->32                  sides x2 @ s=2
+  dec L1: cat(64)->32->16, cat(48)->16                   sides x2 @ s=1
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import conv3d, instance_norm, leaky_relu, max_pool3d, upsample_trilinear
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SEUNetConfig:
+    in_channels: int = 2
+    n_classes: int = 1
+    side_channels: int = 2  # out_channel2 in the reference
+    drop_threshold: float = 0.3
+    compute_dtype: Any = jnp.float32  # bfloat16 for the fast path
+    # rematerialize each conv block in backward — trades ~30% extra
+    # FLOPs for the activation memory of a 128^3 crop fitting in HBM
+    remat: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Initialization. PyTorch Conv3d default init is kaiming_uniform(a=sqrt(5)),
+# i.e. U(-b, b) with b = 1/sqrt(fan_in); bias likewise U(-1/sqrt(fan_in), ...).
+# We reproduce that distribution so freshly-initialized nets train the same.
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, k: int, cin: int, cout: int, bias: bool) -> Params:
+    fan_in = cin * k * k * k
+    bound = 1.0 / math.sqrt(fan_in)
+    kw, kb = jax.random.split(key)
+    p: Params = {
+        "w": jax.random.uniform(
+            kw, (k, k, k, cin, cout), jnp.float32, -bound, bound
+        )
+    }
+    if bias:
+        p["b"] = jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def _sse_init(key, cin: int, cout: int, side: int, n_gates: int) -> Params:
+    keys = jax.random.split(key, 2 + n_gates)
+    p: Params = {
+        "conv": _conv_init(keys[0], 3, cin, cout, bias=True),
+        "side": _conv_init(keys[1], 1, cout, side, bias=True),
+    }
+    for g in range(n_gates):
+        p[f"se{g}"] = _conv_init(keys[2 + g], 1, cout, 1, bias=False)
+    return p
+
+
+def _cat_init(key, cin: int, cout: int) -> Params:
+    return {"conv": _conv_init(key, 1, cin, cout, bias=False)}
+
+
+def init_params(key, cfg: SEUNetConfig = SEUNetConfig()) -> Params:
+    """Build the full parameter pytree (float32 master copy)."""
+    s = cfg.side_channels
+    ic = cfg.in_channels
+    spec: list[tuple[str, str, tuple]] = [
+        # encoder level 1
+        ("ec1", "sse1", (ic, 8)),
+        ("ec2", "sse1", (8, 16)),
+        ("ec3", "sse1", (16, 32)),
+        ("ec33", "cat", (56, 32)),
+        ("x33", "cat", (ic, 32)),
+        # encoder level 2
+        ("ec4", "sse2", (32, 32)),
+        ("ec5", "sse2", (32, 32)),
+        ("ec6", "sse2", (32, 64)),
+        ("ec63", "cat", (128, 64)),
+        ("x63", "cat", (ic, 64)),
+        # encoder level 3
+        ("ec7", "sse2", (64, 64)),
+        ("ec8", "sse2", (64, 64)),
+        ("ec9", "sse2", (64, 64)),
+        ("ec93", "cat", (192, 64)),
+        ("x93", "cat", (ic, 64)),
+        # bottleneck
+        ("ec10", "sse2", (64, 64)),
+        ("ec11", "sse2", (64, 64)),
+        ("ec12", "sse2", (64, 64)),
+        ("ec123", "cat", (192, 64)),
+        # decoder
+        ("dc1", "sse2", (128, 64)),
+        ("dc2", "sse2", (64, 64)),
+        ("dc22", "cat", (128, 64)),
+        ("dc3", "sse2", (128, 64)),
+        ("dc4", "sse2", (64, 32)),
+        ("dc42", "cat", (96, 32)),
+        ("dc5", "sse1", (64, 32)),
+        ("dc6", "sse1", (32, 16)),
+        ("dc62", "cat", (48, 16)),
+    ]
+    keys = jax.random.split(key, len(spec) + 2)
+    params: Params = {}
+    for k, (name, kind, (cin, cout)) in zip(keys, spec):
+        if kind == "cat":
+            params[name] = _cat_init(k, cin, cout)
+        else:
+            params[name] = _sse_init(k, cin, cout, s, 1 if kind == "sse1" else 2)
+    params["head_en"] = _conv_init(keys[-2], 1, 12 * s, cfg.n_classes, bias=True)
+    params["head_de"] = _conv_init(keys[-1], 1, 6 * s, cfg.n_classes, bias=True)
+    return params
+
+
+def num_params(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _sse_block(p: Params, x, *, dilation: int, up: int, n_gates: int):
+    """Conv3 -> IN -> LeakyReLU -> SE gate(s) -> (features, side@full-res)."""
+    e = conv3d(x, p["conv"]["w"], p["conv"]["b"], padding=dilation, dilation=dilation)
+    e = leaky_relu(instance_norm(e))
+    for g in range(n_gates):
+        gate = jax.nn.sigmoid(conv3d(e, p[f"se{g}"]["w"]))
+        e = e * gate
+    side = conv3d(e, p["side"]["w"], p["side"]["b"])
+    side = upsample_trilinear(side, up)
+    return e, side
+
+
+def _cat_block(p: Params, x):
+    return leaky_relu(instance_norm(conv3d(x, p["conv"]["w"])))
+
+
+def _drop_layer(key, x, threshold: float, train: bool):
+    """Channel dropout: per-(batch,channel) Bernoulli mask, rescaled by
+    C / (mask.sum() + 0.01) where the sum runs over the whole mask
+    (reference SE_UNet.py:84-97)."""
+    if not train:
+        return x
+    b, _, _, _, c = x.shape
+    r = jax.random.uniform(key, (b, 1, 1, 1, c), jnp.float32)
+    mask = (r >= threshold).astype(jnp.float32)
+    scale = c / (jnp.sum(mask) + 0.01)
+    return x * (mask * scale).astype(x.dtype)
+
+
+def apply(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    cfg: SEUNetConfig = SEUNetConfig(),
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward pass on NDHWC input (B, D, H, W, in_channels).
+
+    Returns raw-logit heads `(pred_en, pred_de)` at full resolution,
+    matching the reference's `(pred0, pred1)` output contract
+    (reference SE_UNet.py:181-238).
+    """
+    dt = cfg.compute_dtype
+    p = jax.tree.map(lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+    x = x.astype(dt)
+    cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+
+    if cfg.remat:
+        def _sse_block(pb, xb, *, dilation, up, n_gates, _f=globals()["_sse_block"]):
+            return jax.checkpoint(
+                lambda p_, x_: _f(p_, x_, dilation=dilation, up=up, n_gates=n_gates)
+            )(pb, xb)
+
+        _cat_block = jax.checkpoint(globals()["_cat_block"])
+    else:
+        _sse_block = globals()["_sse_block"]
+        _cat_block = globals()["_cat_block"]
+
+    # encoder level 1 (full res)
+    e0, s0 = _sse_block(p["ec1"], x, dilation=1, up=1, n_gates=1)
+    e1, s1 = _sse_block(p["ec2"], e0, dilation=1, up=1, n_gates=1)
+    e1_1, s2 = _sse_block(p["ec3"], e1, dilation=2, up=1, n_gates=1)
+    e1 = _cat_block(p["ec33"], cat(e1_1, e0, e1))
+    e1 = e1 + _cat_block(p["x33"], x)
+    e2 = max_pool3d(e1)
+    x = max_pool3d(x)
+
+    # encoder level 2 (1/2)
+    e2, s3 = _sse_block(p["ec4"], e2, dilation=1, up=2, n_gates=2)
+    e3, s4 = _sse_block(p["ec5"], e2, dilation=2, up=2, n_gates=2)
+    e3_1, s5 = _sse_block(p["ec6"], e3, dilation=2, up=2, n_gates=2)
+    e3 = _cat_block(p["ec63"], cat(e3_1, e2, e3))
+    e3 = e3 + _cat_block(p["x63"], x)
+    e4 = max_pool3d(e3)
+    x = max_pool3d(x)
+
+    # encoder level 3 (1/4)
+    e4, s6 = _sse_block(p["ec7"], e4, dilation=1, up=4, n_gates=2)
+    e5, s7 = _sse_block(p["ec8"], e4, dilation=2, up=4, n_gates=2)
+    e5_1, s8 = _sse_block(p["ec9"], e5, dilation=2, up=4, n_gates=2)
+    e5 = _cat_block(p["ec93"], cat(e5_1, e4, e5))
+    e5 = e5 + _cat_block(p["x93"], x)
+    e6 = max_pool3d(e5)
+
+    # bottleneck (1/8)
+    e6, s9 = _sse_block(p["ec10"], e6, dilation=1, up=8, n_gates=2)
+    e7, s10 = _sse_block(p["ec11"], e6, dilation=1, up=8, n_gates=2)
+    e7_1, s11 = _sse_block(p["ec12"], e7, dilation=1, up=8, n_gates=2)
+    e7 = _cat_block(p["ec123"], cat(e7_1, e6, e7))
+
+    # decoder level 3 (1/4)
+    e8 = upsample_trilinear(e7, 2)
+    d0, s12 = _sse_block(p["dc1"], cat(e8, e5), dilation=1, up=4, n_gates=2)
+    d0_1, s13 = _sse_block(p["dc2"], d0, dilation=1, up=4, n_gates=2)
+    d0 = _cat_block(p["dc22"], cat(d0_1, d0))
+
+    # decoder level 2 (1/2)
+    d1 = upsample_trilinear(d0, 2)
+    d1, s14 = _sse_block(p["dc3"], cat(d1, e3), dilation=1, up=2, n_gates=2)
+    d1_1, s15 = _sse_block(p["dc4"], d1, dilation=1, up=2, n_gates=2)
+    d1 = _cat_block(p["dc42"], cat(d1_1, d1))
+
+    # decoder level 1 (full res)
+    d2 = upsample_trilinear(d1, 2)
+    d2, s16 = _sse_block(p["dc5"], cat(d2, e1), dilation=1, up=1, n_gates=1)
+    d2_1, s17 = _sse_block(p["dc6"], d2, dilation=1, up=1, n_gates=1)
+    d2 = _cat_block(p["dc62"], cat(d2_1, d2))
+    del d2  # decoder trunk feeds only side outputs beyond this point
+
+    sides_en = cat(s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
+    sides_de = cat(s12, s13, s14, s15, s16, s17)
+
+    if train:
+        if rng is None:
+            raise ValueError("train=True requires an rng key for DropLayer")
+        k_en, k_de = jax.random.split(rng)
+    else:
+        k_en = k_de = None
+    sides_en = _drop_layer(k_en, sides_en, cfg.drop_threshold, train)
+    sides_de = _drop_layer(k_de, sides_de, cfg.drop_threshold, train)
+
+    pred_en = conv3d(sides_en, p["head_en"]["w"], p["head_en"]["b"])
+    pred_de = conv3d(sides_de, p["head_de"]["w"], p["head_de"]["b"])
+    return pred_en, pred_de

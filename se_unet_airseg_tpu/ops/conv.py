@@ -1,0 +1,53 @@
+"""3-D convolution in TPU-native NDHWC layout.
+
+Wraps `lax.conv_general_dilated` with the dimension numbers the TPU
+backend prefers (NDHWC activations, DHWIO weights). The reference's
+convs are all 3x3x3 (optionally dilation 2, SAME-style padding
+`pad = dilation`) or 1x1x1 (reference SE_UNet.py:15-16, 42, 57-58).
+
+Accumulation uses `preferred_element_type=float32` so bfloat16
+activations still accumulate at full precision on the MXU.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+)
+
+
+def conv3d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    stride: int = 1,
+    padding: int | str = 0,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Conv over NDHWC `x` with DHWIO `kernel`.
+
+    `padding` is a symmetric per-axis voxel count (the reference always
+    uses `padding = 1 * dilation` for 3^3 kernels and 0 for 1^3).
+    """
+    if isinstance(padding, int):
+        pad = [(padding, padding)] * 3
+    else:
+        pad = padding
+    # Precision.HIGHEST: with bf16 inputs this is the native single-pass
+    # MXU bf16xbf16->f32 (free); with f32 inputs it forbids the DEFAULT
+    # bf16 down-conversion, giving true fp32 for parity testing.
+    y = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride, stride, stride),
+        padding=pad,
+        rhs_dilation=(dilation, dilation, dilation),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)

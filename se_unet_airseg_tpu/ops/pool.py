@@ -1,0 +1,27 @@
+"""3-D max pooling via XLA reduce_window.
+
+The reference downsamples both features and the raw input image with
+`nn.MaxPool3d(kernel_size=2, stride=2)` between encoder levels
+(reference SE_UNet.py:131-133, 188-189, 197-198).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def max_pool3d(x: jnp.ndarray, window: int = 2, stride: int | None = None) -> jnp.ndarray:
+    """Max pool an NDHWC tensor over D,H,W. Defaults to 2^3/stride 2."""
+    if stride is None:
+        stride = window
+    # NOTE: the init value must be the literal -inf (not a materialized
+    # array) for JAX to recognize the max monoid and attach the
+    # select-based VJP to the reduce_window primitive.
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        init,
+        lax.max,
+        window_dimensions=(1, window, window, window, 1),
+        window_strides=(1, stride, stride, stride, 1),
+        padding="VALID",
+    )
