@@ -1,18 +1,18 @@
-"""Headline benchmark: 128^3 sliding-window inference throughput per chip.
+"""Headline benchmark: whole-volume segmentation on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The north star (BASELINE.md) is 128^3 patches/sec/chip on sliding-
-window inference at Dice parity, >=5x the A100 PyTorch reference.
-The reference pipeline runs eval batches of 8 tiles with host-side
-reassembly; the A100 fp32 baseline for this model is ~12-16 tiles/s
-(~70ms/8-tile batch). We benchmark the full engine path — tile
-gather, bf16 forward, sigmoid, on-device overlap scatter-add — on a
-synthetic lung-sized volume (320x256x320 -> 80 tiles after padding).
+End-to-end path (the reference's test.py flow, SURVEY.md §3.3): HU
+volume upload -> dual windowing -> 128^3/stride-64 sliding-window
+forward (s2d fast path, bf16) with on-device overlap averaging ->
+on-device double-threshold packing (2-bit trits, 16x smaller
+download) -> host DTI hysteresis + largest-26-CC -> binary mask.
 
-vs_baseline is reported against an A100 PyTorch estimate of 14
-tiles/s (not measurable here; the reference publishes no throughput —
-SURVEY.md §6).
+Throughput is reported in 128^3 tiles/sec/chip, the north-star unit
+(BASELINE.md). vs_baseline compares against an A100 PyTorch estimate
+of 14 tiles/s (the reference publishes no throughput — SURVEY.md §6;
+its eval loop runs ~70ms/8-tile batch on A100-class fp32 plus host
+reassembly).
 """
 
 import json
@@ -29,6 +29,9 @@ def main():
 
     from se_unet_airseg_tpu.models import SEUNetConfig, init_params
     from se_unet_airseg_tpu.infer import SlidingWindowRunner
+    from se_unet_airseg_tpu.infer.sliding_window import trits_to_scores
+    from se_unet_airseg_tpu.post import dti, largest_component
+    from se_unet_airseg_tpu.data import tile_positions, pad_positions_to_batch
 
     cfg = SEUNetConfig(compute_dtype=jnp.bfloat16)
     params = init_params(jax.random.key(0), cfg)
@@ -36,27 +39,25 @@ def main():
     rng = np.random.default_rng(0)
     vol = (rng.random((320, 256, 320)) * 1400.0 - 1000.0).astype(np.float32)
 
-    # batch=2 fits the 16G HBM of a single v5e chip (batch=4 peaks >20G
-    # until the fused Pallas conv+IN+LeakyReLU path lands)
     runner = SlidingWindowRunner(params, cfg, batch=2)
 
-    # warmup (compile) on the SAME padded shape as the measured run
-    _ = runner.predict_hu(vol)
+    def run_once():
+        trits = runner.predict_trits(vol, h_thresh=0.5, l_thresh=0.35)
+        mask = dti(trits_to_scores(trits, 0.5, 0.35), 0.5, 0.35)
+        return largest_component(mask)
 
-    from se_unet_airseg_tpu.data import tile_positions, pad_positions_to_batch
+    _ = run_once()  # warmup/compile on the same shapes
 
-    n_tiles = len(
-        pad_positions_to_batch(tile_positions(vol.shape), runner.batch)
-    )
+    n_tiles = len(pad_positions_to_batch(tile_positions(vol.shape), runner.batch))
     t0 = time.perf_counter()
-    _ = runner.predict_hu(vol)
+    _ = run_once()
     dt = time.perf_counter() - t0
     tiles_per_s = n_tiles / dt
 
     print(
         json.dumps(
             {
-                "metric": "sliding_window_128^3_tiles_per_sec_per_chip",
+                "metric": "whole_volume_seg_128^3_tiles_per_sec_per_chip",
                 "value": round(tiles_per_s, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_s / A100_BASELINE_TILES_PER_S, 2),

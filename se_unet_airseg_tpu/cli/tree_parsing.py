@@ -1,0 +1,127 @@
+"""Airway tree-parsing CLI — reference-compatible flags and reports.
+
+Mirrors the reference's only argparse surface (reference
+tree_parsing.py:213-262): `--pred_mask_path --save_path
+--save_ATM22_path --merge_t`, iterating every mask in the input
+directory. Per case it writes, into `--save_path` ("Ours" parser):
+
+  <case>_parse.npy   object array of per-branch mm centerlines
+  <case>_parse_map.nii.gz  voxel branch-id map (extra artifact)
+  <case>_time.txt    "Centerline segment time %d seconds /
+                      Airway tree parse time %d seconds /
+                      Number of branches %d" (reference format,
+                      tree_parsing.py:70-76)
+
+and into `--save_ATM22_path` the ATM22 parse map + _time.txt.
+
+STL/PNG/GIF renders (pyvista in the reference) are not emitted —
+there is no VTK in this environment; the mesh export hook is
+`post.topology.TopologyTree.resize` + the parse maps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..io import read_nifti, write_nifti
+from ..post.atm22 import atm22_parse
+from ..post.topology import TopologyTree, detect_order
+
+
+def load_like_reference(path: str):
+    """reference util.py:11-22 axis heuristic: (z,y,x) volumes with
+    y==x are rotated to (y,x,z)."""
+    v = read_nifti(path)
+    arr = v.array
+    a, b, c = arr.shape
+    if b == c:
+        arr = arr.transpose(1, 2, 0)
+    return arr, v.spacing
+
+
+def ours_parse_case(pred: np.ndarray, spacing, merge_t: int, save_dir: str,
+                    case: str):
+    stem = case.split(".nii.gz")[0]
+    t0 = time.time()
+    order = detect_order(pred)
+    tree = TopologyTree(pred, order, merge_t, remerge_l=["000"])
+    tree.sub()
+    tree.merge()
+    tree.grade()
+    centerline_time = time.time() - t0
+    print("Centerline segment time %d seconds" % centerline_time)
+
+    np.save(
+        os.path.join(save_dir, stem + "_parse.npy"),
+        tree.resize(*spacing[:3]),
+        allow_pickle=True,
+    )
+    t0 = time.time()
+    parse_map = tree.parse_map()
+    tree_parse_time = time.time() - t0
+    write_nifti(os.path.join(save_dir, stem + "_parse_map.nii.gz"), parse_map)
+    print("Airway tree parse time %d seconds" % tree_parse_time)
+    print("Number of branches %d " % tree.branch_count)
+
+    with open(os.path.join(save_dir, stem + "_time.txt"), "w") as f:
+        f.write("Centerline segment time %d seconds\n" % centerline_time)
+        f.write("Airway tree parse time %d seconds\n" % tree_parse_time)
+        f.write("Number of branches %d\n" % tree.branch_count)
+    return tree
+
+
+def atm22_parse_case(pred: np.ndarray, save_dir: str, case: str):
+    stem = case.split(".nii.gz")[0]
+    t0 = time.time()
+    parse, num = atm22_parse(pred)
+    dt = time.time() - t0
+    write_nifti(os.path.join(save_dir, stem + "_parse_map.nii.gz"), parse)
+    print("Airway tree parse time %d seconds" % dt)
+    print("Number of branches %d " % num)
+    with open(os.path.join(save_dir, stem + "_time.txt"), "w") as f:
+        f.write("Airway tree parse time %d seconds\n" % dt)
+        f.write("Number of branches %d\n" % num)
+    return parse, num
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Process airway segmentation and tree parsing."
+    )
+    parser.add_argument(
+        "--pred_mask_path", type=str, default="./demo_mask/",
+        help="Path to the directory containing predicted mask files.",
+    )
+    parser.add_argument(
+        "--save_path", type=str, default=None,
+        help="Directory where the Ours output will be saved.",
+    )
+    parser.add_argument(
+        "--save_ATM22_path", type=str, default=None,
+        help="Directory where the ATM22 output will be saved.",
+    )
+    parser.add_argument(
+        "--merge_t", type=int, default=5,
+        help="Threshold for merging branches during airway skeleton parsing.",
+    )
+    args = parser.parse_args(argv)
+
+    for case in sorted(os.listdir(args.pred_mask_path)):
+        pred, spacing = load_like_reference(
+            os.path.join(args.pred_mask_path, case)
+        )
+        pred = (pred > 0).astype(np.uint8)
+        if args.save_path is not None:
+            os.makedirs(args.save_path, exist_ok=True)
+            ours_parse_case(pred, spacing, args.merge_t, args.save_path, case)
+        if args.save_ATM22_path is not None:
+            os.makedirs(args.save_ATM22_path, exist_ok=True)
+            atm22_parse_case(pred, args.save_ATM22_path, case)
+
+
+if __name__ == "__main__":
+    main()

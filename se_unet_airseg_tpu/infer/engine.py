@@ -1,0 +1,228 @@
+"""Validation / test / deployment drivers over the sliding-window core.
+
+Mirrors the reference's three inference consumers:
+
+  * `validate`  — reference train.py:631-738: per val volume, overlap-
+    averaged decoder-head sigmoid, binarize@0.5 or DTI(0.5,0.4),
+    random/hard val Dice vs the stage-1 prediction (curriculum
+    feedback), ATM22 metric block, LOG emission. Runs the net in
+    TRAIN mode (DropLayer active) exactly like the reference does
+    (train.py:632 — behavior, not a bug to fix silently).
+  * `run_test`  — reference test.py:67-234: DTI(0.5,0.35), 15% x/y
+    border suppression, largest 26-CC, nii.gz output with source
+    geometry, aggregate metric line (+ boxplot when matplotlib
+    exists).
+  * `network_prediction` — reference prediction.py:51-154: deployment
+    path, EVAL mode, DTI(0.5,0.4), border suppression, largest CC,
+    `*_pred_mask.nii.gz` (STL export pending the C++ marching-cubes).
+
+All volume math (windowing, tiling, forward, overlap average,
+double-threshold packing) runs on device; only 2-bit trit fields are
+downloaded (SlidingWindowRunner docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..io import read_nifti, write_nifti
+from ..metrics import evaluation_suite
+from ..models.se_unet import SEUNetConfig
+from ..post import dti as dti_fn, largest_component
+from ..train.logbook import append_epoch
+from .sliding_window import SlidingWindowRunner, trits_to_scores
+
+
+def _load_case(data_root: str, name: str):
+    img = read_nifti(os.path.join(data_root, "data", name + "data_cut.nii.gz"))
+    label = read_nifti(os.path.join(data_root, "mask", name + "mask_cut.nii.gz"))
+    return img, label.array.astype(np.uint8)
+
+
+def _binarize(runner, hu, dti_on: bool, h: float, l: float, rng=None):
+    if dti_on:
+        trits = runner.predict_trits(hu, h_thresh=h, l_thresh=l, rng=rng)
+        return dti_fn(trits_to_scores(trits, h, l), h, l)
+    trits = runner.predict_trits(hu, h_thresh=0.5, l_thresh=0.5, rng=rng)
+    return (trits == 2).astype(np.uint8)
+
+
+def evaluation_case(pred, label, name, file_root, suffix=""):
+    """Largest-CC + ATM22 metric block vs the stored priors
+    (reference train.py:740-775, test.py:236-270)."""
+    parsing = read_nifti(
+        os.path.join(file_root, "tree_parse" + suffix, name + "mask_cut.nii.gz")
+    ).array
+    skeleton = read_nifti(
+        os.path.join(file_root, "skeleton" + suffix, name + "mask_cut.nii.gz")
+    ).array
+    skeleton = (skeleton > 0).astype(np.uint8)
+    big = largest_component(pred.astype(np.uint8))
+    if big.sum() == 0:
+        big = pred.astype(np.uint8)
+    m = evaluation_suite(big, label, parsing, skeleton)
+    print(
+        name,
+        "TD: %0.4f" % m["TD"], "BD: %0.4f" % m["BD"], "DSC: %0.4f" % m["DSC"],
+        "Precision: %0.4f" % m["Pre"], "Sen: %0.4f" % m["Sen"],
+        "Spe: %0.4f" % m["Spe"],
+    )
+    return m
+
+
+def validate(
+    params,
+    cfg: SEUNetConfig,
+    names: list[str],
+    data_root: str,
+    file_root: str,
+    epoch: int,
+    log_savepath: str,
+    dti: bool = False,
+    stage: int = 1,
+    rng=None,
+    cube: int = 128,
+    step: int = 64,
+):
+    """Returns (TD_mean, BD_mean, val_loss_random, val_loss_hard) —
+    the curriculum scheduler's inputs (reference train.py:631-738)."""
+    import jax
+
+    runner = SlidingWindowRunner(params, cfg, train_mode=True, cube=cube, step=step)
+    if rng is None:
+        rng = jax.random.key(0)
+    metrics, rand_dice, hard_dice = [], [], []
+    for i, name in enumerate(names):
+        img, label = _load_case(data_root, name)
+        hu = img.array.astype(np.float32) - 1024.0
+        case_rng = jax.random.fold_in(rng, i)
+        pred = _binarize(runner, hu, dti, 0.5, 0.4, rng=case_rng)
+        if stage != 1:
+            p1 = read_nifti(os.path.join(file_root, "pred_1", name + ".nii.gz")).array
+            if p1.ndim > 3:
+                p1 = p1[0]
+            inv = 1 - p1
+            hp, hl = pred * inv, label * inv
+            rand_dice.append(2 * (pred * label).sum() / max((pred + label).sum(), 1))
+            hard_dice.append(2 * (hp * hl).sum() / max((hp + hl).sum(), 1))
+        metrics.append(evaluation_case(pred, label, name, file_root, "_val"))
+    line = append_epoch(log_savepath, epoch, metrics)
+    print(line)
+    td = float(np.mean([m["TD"] for m in metrics]))
+    bd = float(np.mean([m["BD"] for m in metrics]))
+    vr = float(np.mean(rand_dice)) if rand_dice else 0.0
+    vh = float(np.mean(hard_dice)) if hard_dice else 0.0
+    return td, bd, vr, vh
+
+
+def border_suppress(pred: np.ndarray, frac: float = 0.15) -> np.ndarray:
+    """Zero the first/last `frac` of the first two axes
+    (reference test.py:117-120)."""
+    out = pred.copy()
+    out[: int(frac * out.shape[0])] = 0
+    out[int((1 - frac) * out.shape[0]) :] = 0
+    out[:, : int(frac * out.shape[1])] = 0
+    out[:, int((1 - frac) * out.shape[1]) :] = 0
+    return out
+
+
+def run_test(
+    params,
+    cfg: SEUNetConfig,
+    names: list[str],
+    data_root: str,
+    file_root: str,
+    testlog_savepath: str,
+    result_savepath: str,
+    stage_name: str = "stage_three",
+    dti: bool = True,
+    rng=None,
+):
+    """Reference test.py flow; returns the per-case metric list."""
+    import jax
+
+    runner = SlidingWindowRunner(params, cfg, train_mode=True)
+    if rng is None:
+        rng = jax.random.key(0)
+    outdir = os.path.join(result_savepath, stage_name)
+    os.makedirs(outdir, exist_ok=True)
+    metrics = []
+    for i, name in enumerate(names):
+        img, label = _load_case(data_root, name)
+        hu = img.array.astype(np.float32) - 1024.0
+        pred = _binarize(runner, hu, dti, 0.5, 0.35, rng=jax.random.fold_in(rng, i))
+        pred = border_suppress(pred)
+        pred = largest_component(pred)
+        write_nifti(
+            os.path.join(outdir, name + ".nii.gz"),
+            pred.astype(np.int8), img.spacing, img.origin, img.direction,
+        )
+        m = evaluation_case(pred, label, name, file_root, "_test")
+        metrics.append(m)
+
+    keys = ("TD", "BD", "DSC", "Pre", "Sen", "Spe")
+    stats = []
+    for k in keys:
+        arr = np.array([m[k] for m in metrics])
+        stats += [arr.mean(), arr.std()]
+    line = (
+        "TD: %0.4f (%0.4f), BD: %0.4f (%0.4f), DSC: %0.4f (%0.4f), "
+        "Pre: %0.4f (%0.4f), Sen: %0.4f (%0.4f), Spe: %0.4f (%0.4f)" % tuple(stats)
+    )
+    print(line)
+    with open(testlog_savepath, "a") as f:
+        f.write(line + "\n")
+    _maybe_boxplot(metrics, stage_name)
+    return metrics
+
+
+def _maybe_boxplot(metrics, stage_name):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    keys = ("TD", "BD", "DSC", "Pre", "Sen", "Spe")
+    data = [[m[k] for m in metrics] for k in keys]
+    plt.figure(figsize=(10, 10))
+    plt.boxplot(data, meanline=True, showmeans=True, labels=list(keys),
+                patch_artist=True)
+    plt.grid(linestyle="-.")
+    plt.title("Metrics of " + stage_name, fontsize=25)
+    plt.ylim(0, 105)
+    plt.savefig("Metrics of " + stage_name + ".png")
+    plt.close()
+
+
+def network_prediction(
+    params,
+    cfg: SEUNetConfig,
+    ct_path: str,
+    save_dir: str,
+    *,
+    h_thresh: float = 0.5,
+    l_thresh: float = 0.4,
+):
+    """Deployment path (reference prediction.py:51-154): raw-HU volume
+    in, `<case>_pred_mask.nii.gz` out. Runs in EVAL mode — the one
+    inference consumer the reference runs under model.eval()
+    (prediction.py:64)."""
+    from ..pipeline.preprocess import preprocess_ct_volume
+
+    os.makedirs(save_dir, exist_ok=True)
+    name = preprocess_ct_volume(ct_path, save_dir, mode="prediction")
+    img = read_nifti(os.path.join(save_dir, name + "data_cut.nii.gz"))
+    hu = img.array.astype(np.float32) - 1024.0
+
+    runner = SlidingWindowRunner(params, cfg, train_mode=False)
+    trits = runner.predict_trits(hu, h_thresh=h_thresh, l_thresh=l_thresh)
+    pred = dti_fn(trits_to_scores(trits, h_thresh, l_thresh), h_thresh, l_thresh)
+    pred = border_suppress(pred)
+    pred = largest_component(pred)
+    out_path = os.path.join(save_dir, name + "_pred_mask.nii.gz")
+    write_nifti(out_path, pred, img.spacing, img.origin, img.direction)
+    return out_path

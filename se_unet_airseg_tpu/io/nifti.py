@@ -131,7 +131,8 @@ def write_nifti(
     ndim = arr.ndim
     shape_xyz = arr.shape[::-1]
     dim = [ndim] + list(shape_xyz) + [1] * (7 - ndim)
-    pixdim = [1.0] + [float(s) for s in spacing[:ndim]] + [1.0] * (7 - ndim)
+    sp = [float(s) for s in spacing[:3]] + [1.0] * max(0, ndim - 3)
+    pixdim = [1.0] + sp[:ndim] + [1.0] * (7 - ndim)
 
     direction = np.eye(3) if direction is None else np.asarray(direction, np.float64)
     rot = direction * np.asarray(spacing[:3], np.float64)[None, :]

@@ -155,13 +155,16 @@ def num_params(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _sse_block(p: Params, x, *, dilation: int, up: int, n_gates: int):
+def _sse_block(p: Params, x, *, dilation: int, up: int, n_gates: int,
+               want_side: bool = True):
     """Conv3 -> IN -> LeakyReLU -> SE gate(s) -> (features, side@full-res)."""
     e = conv3d(x, p["conv"]["w"], p["conv"]["b"], padding=dilation, dilation=dilation)
     e = leaky_relu(instance_norm(e))
     for g in range(n_gates):
         gate = jax.nn.sigmoid(conv3d(e, p[f"se{g}"]["w"]))
         e = e * gate
+    if not want_side:
+        return e, None
     side = conv3d(e, p["side"]["w"], p["side"]["b"])
     side = upsample_trilinear(side, up)
     return e, side
@@ -280,3 +283,291 @@ def apply(
     pred_en = conv3d(sides_en, p["head_en"]["w"], p["head_en"]["b"])
     pred_de = conv3d(sides_de, p["head_de"]["w"], p["head_de"]["b"])
     return pred_en, pred_de
+
+
+# ---------------------------------------------------------------------------
+# Fast TPU path: space-to-depth at the full-resolution level.
+#
+# Numerically equivalent to `apply` (same params, same math, fp
+# reassociation only — locked by tests/test_fast_path.py), but the
+# 128^3 tensors with 2..56 channels never materialize: level 1 runs in
+# (64^3, 16..448)-channel s2d layout where the MXU/VPU lanes are
+# actually filled. Dilated convs use exact polyphase decomposition;
+# side outputs from deeper levels upsample straight into s2d layout.
+# ---------------------------------------------------------------------------
+
+
+def _sse_block_s2d(p: Params, x, want_side: bool = True):
+    """SSEConv (one SE gate) on an s2d tensor via block-lifted conv.
+
+    Only used at full resolution where side upsampling is identity, so
+    the side output is returned in s2d layout directly.
+    """
+    from ..ops.s2d import (
+        bias_to_s2d,
+        conv3_weight_to_s2d,
+        grouped_pointwise,
+        instance_norm_s2d,
+        se_gate_s2d,
+    )
+
+    wb = conv3_weight_to_s2d(p["conv"]["w"])
+    e = conv3d(x, wb, bias_to_s2d(p["conv"]["b"]), padding=1)
+    e = leaky_relu(instance_norm_s2d(e))
+    e = se_gate_s2d(e, p["se0"]["w"][0, 0, 0])
+    if not want_side:
+        return e, None
+    side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
+    return e, side
+
+
+def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True):
+    """SSEConv with dilation 2 via polyphase decomposition (exact, no
+    FLOP overhead): 8 sub-grids convolved dil-1 as batch entries."""
+    from ..ops.s2d import (
+        from_polyphase,
+        grouped_pointwise,
+        instance_norm_s2d,
+        se_gate_s2d,
+        to_polyphase,
+    )
+
+    xp = to_polyphase(x)
+    e = conv3d(xp, p["conv"]["w"], p["conv"]["b"], padding=1)
+    e = from_polyphase(e)
+    e = leaky_relu(instance_norm_s2d(e))
+    e = se_gate_s2d(e, p["se0"]["w"][0, 0, 0])
+    if not want_side:
+        return e, None
+    side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
+    return e, side
+
+
+def _cat_block_s2d(p: Params, x):
+    from ..ops.s2d import grouped_pointwise, instance_norm_s2d
+
+    y = grouped_pointwise(x, p["conv"]["w"][0, 0, 0])
+    return leaky_relu(instance_norm_s2d(y))
+
+
+def _sse_block_s2d_phased(p: Params, x, want_side: bool = True):
+    """SSEConv (one SE gate) on an s2d tensor via the per-output-phase
+    conv decomposition — used for the full-res decoder where dense
+    block-lifting would cost 8x FLOPs."""
+    from ..ops.s2d import (
+        conv3_s2d_phased,
+        grouped_pointwise,
+        instance_norm_s2d,
+        se_gate_s2d,
+    )
+
+    e = conv3_s2d_phased(x, p["conv"]["w"], p["conv"]["b"])
+    e = leaky_relu(instance_norm_s2d(e))
+    e = se_gate_s2d(e, p["se0"]["w"][0, 0, 0])
+    if not want_side:
+        return e, None
+    side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
+    return e, side
+
+
+def _s2d_cat(*tensors):
+    """Channel-concat of s2d tensors per sub-position (matches the
+    reference's full-res torch.cat order)."""
+    parts = []
+    for t in tensors:
+        b, d, h, w, c8 = t.shape
+        parts.append(t.reshape(b, d, h, w, 8, c8 // 8))
+    y = jnp.concatenate(parts, axis=-1)
+    b, d, h, w, _, _ = y.shape
+    return y.reshape(b, d, h, w, -1)
+
+
+def _composed_head(metas, head_p, key, threshold: float, train: bool):
+    """Deep-supervision head WITHOUT materializing side outputs.
+
+    The reference head is conv1x1(DropLayer(cat(upsample(side_i)))):
+    every stage is linear, and align_corners interpolation rows sum to
+    1, so the whole thing folds into
+        sum_i upsample(feat_i @ (w_side_i @ (m_i * W_head_i))) + bias
+    with the DropLayer mask m entering as a per-batch reweighting of
+    the composed projection. Exactly equal to the reference head (fp
+    reassociation only) while skipping 2-channel side tensors, their
+    upsamples and the 24-channel concat.
+
+    `metas`: ordered (feat, block_params, kind, scale); kind 's2d' has
+    feat (B,n,n,n,8Ci), kind 'std' has feat (B,m,m,m,Ci) needing
+    upsample by `scale` (grouped per scale before upsampling).
+    Returns (B, 2n, 2n, 2n, 1) logits.
+    """
+    from ..ops.s2d import depth_to_space, upsample_to_s2d
+
+    c_total = head_p["w"].shape[3]
+    hw = head_p["w"][0, 0, 0, :, 0].astype(jnp.float32)  # (C,)
+    batch = metas[0][0].shape[0]
+    if train:
+        r = jax.random.uniform(key, (batch, 1, 1, 1, c_total), jnp.float32)
+        mask = (r >= threshold).astype(jnp.float32)
+        scale = c_total / (jnp.sum(mask) + 0.01)
+        hw_eff = (mask * scale)[:, 0, 0, 0, :] * hw[None, :]  # (B, C)
+    else:
+        # eval: mask is identity; weights stay batch-independent so
+        # XLA can hoist the tiny side@head compositions
+        hw_eff = hw[None, :]  # (1, C) broadcastable
+
+    total = None  # (B, n, n, n, 8) f32
+    per_scale: dict[int, jnp.ndarray] = {}
+    bias = jnp.zeros((batch,), jnp.float32) + head_p["b"].astype(jnp.float32)[0]
+    ch = 0
+    for feat, bp, kind, sc in metas:
+        w_side = bp["side"]["w"][0, 0, 0].astype(jnp.float32)  # (Ci, 2)
+        b_side = bp["side"]["b"].astype(jnp.float32)  # (2,)
+        whe = hw_eff[:, ch : ch + 2]  # (B or 1, 2)
+        ch += 2
+        bias = bias + jnp.einsum("e,be->b", b_side, whe)
+        if not train:
+            w1 = (w_side @ whe[0]).astype(feat.dtype)  # (Ci,)
+            if kind == "s2d":
+                b_, d_, h_, w_, c8 = feat.shape
+                fr = feat.reshape(b_, d_, h_, w_, 8, c8 // 8)
+                contrib = jnp.einsum("bdhwpc,c->bdhwp", fr, w1).astype(jnp.float32)
+                total = contrib if total is None else total + contrib
+            else:
+                contrib = jnp.einsum("bdhwc,c->bdhw", feat, w1)[..., None]
+                per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
+            continue
+        w_eff = jnp.einsum("ce,be->bc", w_side, whe).astype(feat.dtype)  # (B, Ci)
+        if kind == "s2d":
+            b_, d_, h_, w_, c8 = feat.shape
+            fr = feat.reshape(b_, d_, h_, w_, 8, c8 // 8)
+            contrib = jnp.einsum("bdhwpc,bc->bdhwp", fr, w_eff).astype(jnp.float32)
+            total = contrib if total is None else total + contrib
+        else:
+            contrib = jnp.einsum("bdhwc,bc->bdhw", feat, w_eff)[..., None]
+            per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
+    for sc, acc in per_scale.items():
+        up = upsample_to_s2d(acc.astype(jnp.float32), sc)  # (B, n, n, n, 8)
+        total = up if total is None else total + up
+    # total is (B,n,n,n,8) == (..., 8*1): d2s yields (B,2n,2n,2n,1)
+    pred = depth_to_space(total)
+    return pred + bias.reshape(-1, 1, 1, 1, 1)
+
+
+def _drop_layer_s2d(key, x_s2d, threshold: float, train: bool):
+    """DropLayer on an s2d tensor; identical realization to
+    `_drop_layer` on the depth_to_space image for the same key."""
+    if not train:
+        return x_s2d
+    b, d, h, w, c8 = x_s2d.shape
+    c = c8 // 8
+    r = jax.random.uniform(key, (b, 1, 1, 1, c), jnp.float32)
+    mask = (r >= threshold).astype(jnp.float32)
+    scale = c / (jnp.sum(mask) + 0.01)
+    m = (mask * scale).reshape(b, 1, 1, 1, 1, c)
+    y = x_s2d.reshape(b, d, h, w, 8, c) * m.astype(x_s2d.dtype)
+    return y.reshape(b, d, h, w, c8)
+
+
+def apply_fast(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    cfg: SEUNetConfig = SEUNetConfig(),
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU-optimized forward; same contract as `apply`.
+
+    Requires D, H, W divisible by 8 (as does `apply`).
+    """
+    from ..ops.s2d import (
+        depth_to_space,
+        max_pool_s2d,
+        space_to_depth,
+        upsample_to_s2d,
+    )
+
+    dt = cfg.compute_dtype
+    p = jax.tree.map(lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+    x = x.astype(dt)
+    cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+
+    # ---- encoder level 1 (s2d) ----
+    xs = space_to_depth(x)  # (B, n, n, n, 16)
+    e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False)
+    e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False)
+    e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False)
+    f0, f1, f2 = e0, e1, e1_1  # head features
+    e1 = _cat_block_s2d(p["ec33"], _s2d_cat(e1_1, e0, e1))
+    e1 = e1 + _cat_block_s2d(p["x33"], xs)
+    e2 = max_pool_s2d(e1)  # exits s2d: (B, n, n, n, 32)
+    x2 = max_pool_s2d(xs)
+
+    # ---- encoder level 2 (standard layout, 64^3) ----
+    e2, _ = _sse_block(p["ec4"], e2, dilation=1, up=1, n_gates=2, want_side=False)
+    e3, _ = _sse_block(p["ec5"], e2, dilation=2, up=1, n_gates=2, want_side=False)
+    e3_1, _ = _sse_block(p["ec6"], e3, dilation=2, up=1, n_gates=2, want_side=False)
+    f3, f4, f5 = e2, e3, e3_1
+    e3 = _cat_block(p["ec63"], cat(e3_1, e2, e3))
+    e3 = e3 + _cat_block(p["x63"], x2)
+    e4 = max_pool3d(e3)
+    x3 = max_pool3d(x2)
+
+    # ---- encoder level 3 (1/4) ----
+    e4, _ = _sse_block(p["ec7"], e4, dilation=1, up=1, n_gates=2, want_side=False)
+    e5, _ = _sse_block(p["ec8"], e4, dilation=2, up=1, n_gates=2, want_side=False)
+    e5_1, _ = _sse_block(p["ec9"], e5, dilation=2, up=1, n_gates=2, want_side=False)
+    f6, f7, f8 = e4, e5, e5_1
+    e5 = _cat_block(p["ec93"], cat(e5_1, e4, e5))
+    e5 = e5 + _cat_block(p["x93"], x3)
+    e6 = max_pool3d(e5)
+
+    # ---- bottleneck (1/8) ----
+    e6, _ = _sse_block(p["ec10"], e6, dilation=1, up=1, n_gates=2, want_side=False)
+    e7, _ = _sse_block(p["ec11"], e6, dilation=1, up=1, n_gates=2, want_side=False)
+    e7_1, _ = _sse_block(p["ec12"], e7, dilation=1, up=1, n_gates=2, want_side=False)
+    f9, f10, f11 = e6, e7, e7_1
+    e7 = _cat_block(p["ec123"], cat(e7_1, e6, e7))
+
+    # ---- decoder level 3 (1/4) ----
+    e8 = upsample_trilinear(e7, 2)
+    d0, _ = _sse_block(p["dc1"], cat(e8, e5), dilation=1, up=1, n_gates=2, want_side=False)
+    d0_1, _ = _sse_block(p["dc2"], d0, dilation=1, up=1, n_gates=2, want_side=False)
+    f12, f13 = d0, d0_1
+    d0 = _cat_block(p["dc22"], cat(d0_1, d0))
+
+    # ---- decoder level 2 (1/2) ----
+    d1 = upsample_trilinear(d0, 2)
+    d1, _ = _sse_block(p["dc3"], cat(d1, e3), dilation=1, up=1, n_gates=2, want_side=False)
+    d1_1, _ = _sse_block(p["dc4"], d1, dilation=1, up=1, n_gates=2, want_side=False)
+    f14, f15 = d1, d1_1
+    d1 = _cat_block(p["dc42"], cat(d1_1, d1))
+
+    # ---- decoder level 1 (full res, all in s2d) ----
+    up_s = upsample_to_s2d(d1, 2)  # (n^3, 8*32)
+    d2, _ = _sse_block_s2d_phased(p["dc5"], _s2d_cat(up_s, e1), want_side=False)
+    d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False)
+    f16, f17 = d2, d2_1
+    # dc62's output feeds nothing in the reference forward (its result
+    # is dead after SE_UNet.py:230) — skipped here; XLA would DCE it.
+
+    if train:
+        if rng is None:
+            raise ValueError("train=True requires an rng key for DropLayer")
+        k_en, k_de = jax.random.split(rng)
+    else:
+        k_en = k_de = None
+
+    metas_en = [
+        (f0, p["ec1"], "s2d", 1), (f1, p["ec2"], "s2d", 1), (f2, p["ec3"], "s2d", 1),
+        (f3, p["ec4"], "std", 2), (f4, p["ec5"], "std", 2), (f5, p["ec6"], "std", 2),
+        (f6, p["ec7"], "std", 4), (f7, p["ec8"], "std", 4), (f8, p["ec9"], "std", 4),
+        (f9, p["ec10"], "std", 8), (f10, p["ec11"], "std", 8), (f11, p["ec12"], "std", 8),
+    ]
+    metas_de = [
+        (f12, p["dc1"], "std", 4), (f13, p["dc2"], "std", 4),
+        (f14, p["dc3"], "std", 2), (f15, p["dc4"], "std", 2),
+        (f16, p["dc5"], "s2d", 1), (f17, p["dc6"], "s2d", 1),
+    ]
+    pred_en = _composed_head(metas_en, p["head_en"], k_en, cfg.drop_threshold, train)
+    pred_de = _composed_head(metas_de, p["head_de"], k_de, cfg.drop_threshold, train)
+    return pred_en.astype(jnp.float32), pred_de.astype(jnp.float32)

@@ -1,0 +1,236 @@
+"""Space-to-depth (s2d) machinery for the full-resolution UNet level.
+
+Why: the reference model's level-1 layers run 3^3 convs at 128^3 with
+2..56 channels. On TPU the channel axis maps to the 128-wide lane
+dimension, so C=2..32 tensors waste 4-64x of both bandwidth and MXU
+columns — measured at 0.2-3 TF/s. Folding each 2x2x2 spatial block
+into channels (factor-2 space-to-depth) turns those tensors into
+(64^3, 16..448)-channel tensors, which the MXU and VPU can actually
+fill. This module provides the *exact* algebraic rewrites so the fast
+path is bit-compatible (up to fp reassociation) with the reference
+semantics:
+
+  * `space_to_depth`/`depth_to_space`: (B, 2n, 2n, 2n, C) <->
+    (B, n, n, n, 8C), sub-position-major channel layout
+    p = dz*4 + dy*2 + dx.
+  * `conv3_weight_to_s2d`: lift a dense 3^3 stride-1 pad-1 kernel to
+    an equivalent 3^3 *block* kernel on s2d tensors (weights gain the
+    8x8 sub-position structure; zero-padded taps reproduce SAME
+    padding exactly for even extents).
+  * dilation-2 convs are polyphase-decomposed instead: a dil-2 3^3
+    conv on the full grid is exactly 8 independent dil-1 3^3 convs on
+    the 8 sub-grids (no FLOP overhead).
+  * `instance_norm_s2d`: InstanceNorm statistics per ORIGINAL channel
+    — i.e. over (spatial x 8 sub-positions).
+  * `upsample_to_s2d`: PyTorch align_corners=True trilinear upsample
+    from a coarse grid straight INTO s2d layout (the interpolation
+    matrix split into even/odd output rows), so full-res side outputs
+    never materialize in the lane-hostile (128^3, 2) layout.
+
+Used by `models.se_unet.apply_fast`; parity with the reference path is
+locked by tests/test_fast_path.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from itertools import product
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .resize import _interp_matrix
+
+HP = lax.Precision.HIGHEST
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2n, 2n, 2n, C) -> (B, n, n, n, 8C), p-major channels."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (b, n, n, n, 2, 2, 2, c)
+    return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, n, n, n, 8C) -> (B, 2n, 2n, 2n, C)."""
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, d, h, w, 2, 2, 2, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+@lru_cache(maxsize=None)
+def _block_lift_tensor() -> np.ndarray:
+    """M[Sz,Sy,Sx, p_in, p_out, dz,dy,dx] in {0,1}: tap (d) of output
+    sub-position (p_out) reads input sub-position (p_in) at block
+    offset (S)."""
+    m = np.zeros((3, 3, 3, 8, 8, 3, 3, 3), np.float32)
+    for a, bb, c in product(range(2), repeat=3):
+        q = a * 4 + bb * 2 + c
+        for dz, dy, dx in product((-1, 0, 1), repeat=3):
+            sz, az = divmod(a + dz + 2, 2)
+            sy, ay = divmod(bb + dy + 2, 2)
+            sx, ax = divmod(c + dx + 2, 2)
+            p = az * 4 + ay * 2 + ax
+            m[sz, sy, sx, p, q, dz + 1, dy + 1, dx + 1] = 1.0
+    return m
+
+
+def conv3_weight_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) -> (3,3,3,8Ci,8Co) block kernel (dil=1, pad=1)."""
+    ci, co = w.shape[3], w.shape[4]
+    m = jnp.asarray(_block_lift_tensor(), w.dtype)
+    wp = jnp.einsum("ZYXpqdef,defio->ZYXpiqo", m, w, precision=HP)
+    return wp.reshape(3, 3, 3, 8 * ci, 8 * co)
+
+
+def bias_to_s2d(b: jnp.ndarray) -> jnp.ndarray:
+    """(Co,) -> (8Co,) tiled per sub-position."""
+    return jnp.tile(b, 8)
+
+
+def grouped_pointwise(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None):
+    """1x1x1 conv on an s2d tensor. Weights (Ci, Co) are shared across
+    sub-positions (a 1x1 conv is position-independent), so this is a
+    single einsum on the (…, 8, Ci)-reshaped tensor."""
+    *lead, c8 = x.shape
+    ci = w.shape[0]
+    xr = x.reshape(*lead, 8, ci)
+    y = jnp.einsum("...pi,io->...po", xr, w.astype(x.dtype), precision=HP)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.reshape(*lead, 8 * w.shape[1])
+
+
+def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over (D,H,W,8 sub-positions) per original channel.
+
+    Equivalent to ops.norms.instance_norm on the depth_to_space image.
+    """
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    xr = x.reshape(b, d, h, w, 8, c).astype(jnp.float32)
+    mean = jnp.mean(xr, axis=(1, 2, 3, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xr - mean), axis=(1, 2, 3, 4), keepdims=True)
+    y = (xr - mean) * lax.rsqrt(var + eps)
+    return y.reshape(b, d, h, w, c8).astype(x.dtype)
+
+
+def se_gate_s2d(x: jnp.ndarray, w_se: jnp.ndarray) -> jnp.ndarray:
+    """Spatial squeeze-excitation on an s2d tensor: per ORIGINAL voxel
+    gate sigmoid(<features, w>) broadcast over that voxel's channels.
+    `w_se` is the reference (Ci, 1) kernel (no bias)."""
+    import jax
+
+    *lead, c8 = x.shape
+    ci = w_se.shape[0]
+    xr = x.reshape(*lead, 8, ci)
+    gate = jnp.einsum("...pi,io->...po", xr, w_se.astype(x.dtype), precision=HP)
+    return (xr * jax.nn.sigmoid(gate)).reshape(*lead, c8)
+
+
+def max_pool_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool3d(2,2) of the underlying image: max over sub-positions.
+    (B, n, n, n, 8C) -> (B, n, n, n, C)."""
+    *lead, c8 = x.shape
+    c = c8 // 8
+    return jnp.max(x.reshape(*lead, 8, c), axis=-2)
+
+
+@lru_cache(maxsize=None)
+def _interp_pair(n_in: int, n_out_full: int) -> np.ndarray:
+    """(2, n_out_full//2, n_in): even/odd rows of the align_corners
+    interpolation matrix."""
+    m = _interp_matrix(n_in, n_out_full)
+    return np.stack([m[0::2], m[1::2]])
+
+
+def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None):
+    """Trilinear align_corners upsample of (B, m, m, m, C) by `scale`,
+    emitted directly in s2d layout (B, m*scale/2, ..., 8C).
+
+    Matches upsample_trilinear + space_to_depth exactly.
+    """
+    b, d, h, w, c = x.shape
+    dtype = x.dtype
+    md = jnp.asarray(_interp_pair(d, d * scale), jnp.float32)
+    mh = jnp.asarray(_interp_pair(h, h * scale), jnp.float32)
+    mw = jnp.asarray(_interp_pair(w, w * scale), jnp.float32)
+    y = x.astype(jnp.float32)
+    y = jnp.einsum("aDd,bdhwc->baDhwc", md, y, precision=HP)
+    y = jnp.einsum("eHh,baDhwc->beaDHwc", mh, y, precision=HP)
+    y = jnp.einsum("fWw,beaDHwc->bfeaDHWc", mw, y, precision=HP)
+    # (b, fx, ey, az, D, H, W, c) with a=z-parity, e=y-parity, f=x-parity
+    y = y.transpose(0, 4, 5, 6, 3, 2, 1, 7)  # (b, D, H, W, az, ey, fx, c)
+    n = d * scale // 2
+    return y.reshape(b, n, n, n, 8 * c).astype(dtype)
+
+
+@lru_cache(maxsize=None)
+def _phase_lift_tensor(a: int, b: int, c: int) -> np.ndarray:
+    """Mq[sz',sy',sx', p_in, dz,dy,dx] in {0,1} for output sub-position
+    (a,b,c): which original tap each of the 2^3 block taps x 8 input
+    sub-positions contributes."""
+    m = np.zeros((2, 2, 2, 8, 3, 3, 3), np.float32)
+    for szp, syp, sxp in product(range(2), repeat=3):
+        for az, ay, ax in product(range(2), repeat=3):
+            dz = a - 2 + 2 * szp + az
+            dy = b - 2 + 2 * syp + ay
+            dx = c - 2 + 2 * sxp + ax
+            if all(-1 <= d <= 1 for d in (dz, dy, dx)):
+                p = az * 4 + ay * 2 + ax
+                m[szp, syp, sxp, p, dz + 1, dy + 1, dx + 1] = 1.0
+    return m
+
+
+def conv3_s2d_phased(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None):
+    """Dense 3^3 dil-1 pad-1 conv applied to an s2d tensor, emitted in
+    s2d layout. Exactly equals
+    space_to_depth(conv3d(depth_to_space(x), w, b, padding=1)).
+
+    All 8 output sub-positions are computed by ONE 2^3 block conv whose
+    output channels stack the 8 phase kernels (N = 8*Co fills the MXU
+    lanes); each phase then takes a shifted spatial slice of the
+    (n+1)^3 VALID-conv output. ~2.4x the original FLOPs — far cheaper
+    than the 8x of a dense 3^3 block kernel, with full-width lanes.
+    """
+    from .conv import conv3d
+
+    ci, co = w.shape[3], w.shape[4]
+    # stack per-phase kernels along output channels, p-major
+    kernels = []
+    for a, bb, c in product(range(2), repeat=3):
+        m = jnp.asarray(_phase_lift_tensor(a, bb, c), w.dtype)
+        wq = jnp.einsum("ZYXpdef,defio->ZYXpio", m, w, precision=HP)
+        kernels.append(wq.reshape(2, 2, 2, 8 * ci, co))
+    w_all = jnp.concatenate(kernels, axis=-1)  # (2,2,2, 8Ci, 8Co)
+    b_all = jnp.tile(b, 8) if b is not None else None
+
+    n = x.shape[1]
+    y = conv3d(x, w_all, b_all, padding=1)  # (B, n+1, n+1, n+1, 8Co)
+    outs = []
+    for q, (a, bb, c) in enumerate(product(range(2), repeat=3)):
+        outs.append(
+            y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def to_polyphase(x: jnp.ndarray) -> jnp.ndarray:
+    """s2d (B, n, n, n, 8C) -> (B*8, n, n, n, C): sub-positions become
+    batch entries (for dilation-2 polyphase convs)."""
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, d, h, w, 8, c).transpose(0, 4, 1, 2, 3, 5)
+    return x.reshape(b * 8, d, h, w, c)
+
+
+def from_polyphase(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of to_polyphase."""
+    b8, d, h, w, c = x.shape
+    b = b8 // 8
+    x = x.reshape(b, 8, d, h, w, c).transpose(0, 2, 3, 4, 1, 5)
+    return x.reshape(b, d, h, w, 8 * c)

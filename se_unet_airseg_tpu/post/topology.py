@@ -1,0 +1,341 @@
+"""Airway-tree topology: skeleton -> branches -> hierarchy -> parse map.
+
+Re-designed from the behavior of the reference's "Ours" parser
+(reference ours_skel_parse.py:30-164 subsection, 388-481 merging,
+621-646 grade, 515-520 tree_parsing_func; ske_and_parse.py:20-65
+airway_parse; tree_parsing.py:23-38 order detection). The reference
+walks a dict-backed sparse volume in pure Python; this implementation
+keeps the same observable branch decomposition while using set-based
+adjacency — the input skeletons are ~10^3-10^4 points, so the walk is
+host-side Python and the heavy voxel work (skeletonization, EDT
+nearest-branch assignment, connected components) lives in the native
+library.
+
+Semantics preserved:
+  * traversal starts at the minimum-z skeleton point (first occurrence
+    in z-sorted order, ours_skel_parse.py:53-54);
+  * a voxel with >= 3 skeleton neighbors (26-adjacency) ends the
+    current branch ('end') and spawns one child branch per unvisited
+    neighbor, all recording the junction branch as father;
+  * `merging`: (a) branches with <= merge_t points are deleted — leaf
+    twigs vanish, short internal branches are absorbed into every
+    child; (b) single-child chains collapse into the parent;
+  * `grade`: hierarchical string codes, root '0', the two main bronchi
+    ordered by start-y ('00' = smaller y), then first-come suffixes;
+  * `tree_parsing_func`: every foreground voxel takes the branch id of
+    the nearest rasterized skeleton point (exact EDT with indices).
+
+Not (yet) reproduced: the trachea-centerline smoothing pass
+(ours_skel_parse.py:247-386) and the anatomical `regrade` relabeling
+(653-978) — branch counts and the training-prior artifacts do not
+depend on them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from itertools import product
+
+import numpy as np
+from scipy import ndimage
+
+from ._native import edt_with_indices, skeletonize_3d
+from . import largest_component
+
+_NB26 = [
+    (dz, dy, dx)
+    for dz, dy, dx in product((-1, 0, 1), repeat=3)
+    if (dz, dy, dx) != (0, 0, 0)
+]
+_STRUCT2D = np.ones((3, 3), bool)
+
+
+@dataclasses.dataclass
+class Branch:
+    index: int  # 1-based creation order
+    start: tuple[int, int, int]
+    member: list[tuple[int, int, int]]
+    father: int  # parent branch index, 0 for the root
+    end: tuple[int, int, int] | None = None
+
+    def points(self) -> list[tuple[int, int, int]]:
+        pts = [self.start, *self.member]
+        if self.end is not None:
+            pts.append(self.end)
+        return pts
+
+    def __len__(self) -> int:
+        return len(self.points())
+
+
+def subsection(points: np.ndarray) -> list[Branch]:
+    """Split a skeleton point cloud into branches at junction voxels.
+
+    `points` is (N, 3); the walk seeds at the first minimum-z point.
+    """
+    pts = set(map(tuple, points.tolist()))
+    seed = tuple(points[int(np.argmin(points[:, 2]))].tolist())
+
+    def sk_neighbors(p):
+        return [
+            (p[0] + d[0], p[1] + d[1], p[2] + d[2])
+            for d in _NB26
+            if (p[0] + d[0], p[1] + d[1], p[2] + d[2]) in pts
+        ]
+
+    visited = {seed}
+    queue: deque = deque([(seed, 0)])
+    branches: list[Branch] = []
+
+    while queue:
+        start, father = queue.popleft()
+        conts = [n for n in sk_neighbors(start) if n not in visited]
+        if not conts:
+            branches.append(Branch(len(branches) + 1, start, [], father))
+            continue
+        for first in conts:
+            idx = len(branches) + 1
+            br = Branch(idx, start, [], father)
+            walk: deque = deque([first])
+            while walk:
+                cur = walk.popleft()
+                if cur in visited:
+                    continue
+                visited.add(cur)
+                nbs = sk_neighbors(cur)
+                unv = [n for n in nbs if n not in visited]
+                if len(nbs) < 3:
+                    br.member.append(cur)
+                    walk.extend(unv)
+                else:
+                    br.end = cur
+                    for n in unv:
+                        visited.add(n)
+                        queue.append((n, idx))
+                    break
+            branches.append(br)
+    return branches
+
+
+def merging(branches: list[Branch], len_thre: int) -> list[Branch]:
+    """Two-phase branch cleanup (reference ours_skel_parse.py:388-481)."""
+    # phase 1: absorb/delete short branches
+    cut: set[int] = set()
+    for i, b in enumerate(branches):
+        if len(b) > len_thre:
+            continue
+        sons = [c for c in branches[i + 1 :] if c.father == b.index]
+        for child in sons:
+            child.father = b.father
+            glue = list(b.member)
+            if b.end is not None:
+                glue.append(b.end)
+            glue.append(child.start)
+            child.member = glue + child.member
+            child.start = b.start
+        cut.add(i)
+    branches = [b for i, b in enumerate(branches) if i not in cut]
+
+    # phase 2: collapse single-child chains
+    if not branches:
+        return branches
+    child_count: dict[int, int] = {}
+    for b in branches:
+        child_count[b.father] = child_count.get(b.father, 0) + 1
+    # every real branch with exactly one child collapses (the reference
+    # excludes only the virtual father-index 0, which is not a branch)
+    singles = [b for b in branches if child_count.get(b.index, 0) == 1]
+    cut_idx: set[int] = set()
+    remap: list[tuple[int, int]] = []  # (child_index -> parent_index)
+    for parent in singles:
+        if parent.index in {branches[i].index for i in cut_idx}:
+            continue
+        for i, child in enumerate(branches):
+            if child.father != parent.index or i in cut_idx:
+                continue
+            glue = [parent.end] if parent.end is not None else []
+            glue.append(child.start)
+            glue.extend(child.member)
+            if child.end is not None:
+                parent.end = child.end
+            else:
+                parent.end = glue[-1]
+                glue = glue[:-1]
+            parent.member = parent.member + glue
+            remap.append((child.index, parent.index))
+            cut_idx.add(i)
+            break
+    for child_idx, parent_idx in reversed(remap):
+        for b in branches:
+            if b.father == child_idx:
+                b.father = parent_idx
+    return [b for i, b in enumerate(branches) if i not in cut_idx]
+
+
+def grade(branches: list[Branch]) -> list[dict]:
+    """Hierarchical string codes (reference ours_skel_parse.py:621-646).
+
+    Returns [{'code', 'father_code'}] aligned with `branches`.
+    """
+    n = len(branches)
+    codes = [None] * n
+    fcodes = [None] * n
+    if n == 0:
+        return []
+    codes[0], fcodes[0] = "0", "-1"
+    if n >= 3:
+        if branches[1].start[1] > branches[2].start[1]:
+            codes[1], codes[2] = "01", "00"
+        else:
+            codes[1], codes[2] = "00", "01"
+        fcodes[1] = fcodes[2] = "0"
+    elif n == 2:
+        codes[1], fcodes[1] = "00", "0"
+    flag = [0] * n
+    by_index = {b.index: g for g, b in enumerate(branches)}
+    for i in range(3, n):
+        g = by_index.get(branches[i].father)
+        if g is None or codes[g] is None:
+            codes[i], fcodes[i] = "?", "?"
+            continue
+        codes[i] = codes[g] + str(flag[g])
+        fcodes[i] = codes[g]
+        flag[g] += 1
+    return [{"code": c, "father_code": f} for c, f in zip(codes, fcodes)]
+
+
+def rasterize_branches(branches: list[Branch], shape) -> np.ndarray:
+    """Branch-id map over skeleton voxels (first branch wins ties),
+    ids = position+1 (reference ske_and_parse.py:48-59)."""
+    cd = np.zeros(shape, np.int32)
+    for i, b in enumerate(branches, start=1):
+        for p in b.points():
+            if cd[p] == 0:
+                cd[p] = i
+    return cd
+
+
+def tree_parsing_func(skeleton_parse: np.ndarray, label: np.ndarray,
+                      cd: np.ndarray) -> np.ndarray:
+    """Assign every labeled voxel the id of its nearest skeleton point
+    (reference ours_skel_parse.py:515-520)."""
+    _, inds = edt_with_indices(1 - skeleton_parse.astype(np.uint8))
+    out = cd[inds[0], inds[1], inds[2]] * label
+    return out.astype(np.uint16)
+
+
+def detect_order(mask: np.ndarray) -> int:
+    """Trachea orientation: compare largest 2-D component areas at 20%
+    vs 80% of the z-span (reference tree_parsing.py:23-38)."""
+    zs = np.where(mask.any(axis=(0, 1)))[0]
+    minz, maxz = int(zs.min()), int(zs.max())
+    cha = maxz - minz
+
+    def largest2d(z):
+        lab, nl = ndimage.label(mask[:, :, z], structure=_STRUCT2D)
+        if nl == 0:
+            return 0
+        c = np.bincount(lab.reshape(-1))
+        c[0] = 0
+        return int(c.max())
+
+    return 0 if largest2d(int(0.2 * cha + minz)) > largest2d(int(0.8 * cha + minz)) else 1
+
+
+class TopologyTree:
+    """Orchestrates skeleton -> branch -> hierarchy for one airway mask
+    (reference ours_skel_parse.py:522-1021, rendering omitted)."""
+
+    def __init__(self, label: np.ndarray, order: int, merge_t: int,
+                 remerge_l=()):
+        self.label = (label > 0).astype(np.uint8)
+        self.order = order
+        self.merge_t = merge_t
+        self.remerge_l = list(remerge_l)
+        self.B: np.ndarray | None = None
+        self.Bi: list[Branch] = []
+        self.Bi_g: list[dict] = []
+        self.origin = None
+
+    def _bbox(self, margin: int = 4):
+        idx = np.argwhere(self.label)
+        lo = np.maximum(idx.min(axis=0) - margin, 0)
+        hi = np.minimum(idx.max(axis=0) + margin + 1, self.label.shape)
+        return tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+
+    def sub(self):
+        """Fill/dilate/close -> largest CC -> skeletonize -> subsection
+        (reference ours_skel_parse.py:569-600; the trachea-centerline
+        smoothing pass is not yet reproduced).
+
+        The morphology/thinning run on the airway's bounding box (the
+        mask occupies a fraction of the 512^3 volume) — identical
+        result, far less voxel traffic than the reference's full-volume
+        passes."""
+        sl = self._bbox()
+        crop = self.label[sl]
+        vol = ndimage.binary_fill_holes(ndimage.binary_dilation(crop))
+        vol = ndimage.binary_closing(vol)
+        vol = largest_component(vol.astype(np.uint8))
+        vol = ndimage.binary_fill_holes(vol).astype(np.uint8)
+        skel_c = skeletonize_3d(vol)
+        skel = np.zeros(self.label.shape, np.uint8)
+        skel[sl] = skel_c
+        B = np.argwhere(skel != 0)
+        B = B[B[:, 2].argsort(kind="stable")]
+        self.origin = B.mean(axis=0)
+        if self.order == 1:
+            B = B.copy()
+            B[:, 2] = self.label.shape[2] - B[:, 2]
+        self.B = B
+        self.Bi = subsection(B)
+
+    def merge(self):
+        self.Bi = merging(self.Bi, self.merge_t)
+        if self.order == 1:
+            z = self.label.shape[2]
+            for b in self.Bi:
+                b.start = (b.start[0], b.start[1], z - b.start[2])
+                if b.end is not None:
+                    b.end = (b.end[0], b.end[1], z - b.end[2])
+                b.member = [(p[0], p[1], z - p[2]) for p in b.member]
+
+    def grade(self):
+        self.Bi_g = grade(self.Bi)
+
+    def parse_map(self) -> np.ndarray:
+        # EDT runs on the bounding box only — nearest-skeleton
+        # assignment is local to the airway
+        sl = self._bbox()
+        cd = rasterize_branches(self.Bi, self.label.shape)[sl]
+        skel = (cd != 0).astype(np.uint8)
+        out = np.zeros(self.label.shape, np.uint16)
+        out[sl] = tree_parsing_func(skel, self.label[sl], cd)
+        return out
+
+    def resize(self, px: float, py: float, pz: float) -> np.ndarray:
+        """Branch centerlines in physical mm, origin-centered
+        (reference ours_skel_parse.py:980-1021). Returns an object
+        array of per-branch (N,3) float arrays."""
+        out = []
+        o = self.origin if self.origin is not None else np.zeros(3)
+        for b in self.Bi:
+            pts = np.asarray(b.points(), np.float64)
+            out.append((pts - o) * np.array([px, py, pz]))
+        return np.array(out, dtype=object)
+
+    @property
+    def branch_count(self) -> int:
+        return len(self.Bi)
+
+
+def airway_parse(mask: np.ndarray, merge_t: int = 5) -> np.ndarray:
+    """Training-prior parse map for one binary airway mask
+    (reference ske_and_parse.py:20-65)."""
+    order = detect_order(mask)
+    tree = TopologyTree(mask, order, merge_t, remerge_l=["000"])
+    tree.sub()
+    tree.merge()
+    tree.grade()
+    return tree.parse_map()

@@ -1,0 +1,215 @@
+"""The three curriculum stage drivers (reference train.py:140-629).
+
+Each driver reproduces the reference loop structure on the TPU train
+step:
+
+  stage 1 (reference train.py:516-629): 100 epochs, AdamW 1e-4,
+    MultiStepLR [60,90] x0.1, dice_en+dice_de, validation only at the
+    final epoch, checkpoint every epoch.
+  stage 2 (train.py:328-514): 50 epochs, resume from stage 1, GUL
+    losses, online hard-mining cache written per step + a second pass
+    over the cached crops each epoch, MultiStepLR [40,60] stepped
+    TWICE per epoch (deliberate reference behavior, train.py:466+493),
+    validation + curriculum-scheduler feedback every epoch.
+  stage 3 (train.py:140-326): same shape as stage 2 plus skeleton
+    crops, atr loss, BR weights and the break-ratio scheduler.
+
+Drivers are written against small injectable configs so integration
+tests can run 2-epoch versions on synthetic volumes (SURVEY.md §4
+item 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import numpy as np
+
+from ..data.datasets import OnlineCrops, Prefetcher, Stage1Crops, Stage2Crops, Stage3Crops
+from ..data.splits import load_json_file
+from ..models.se_unet import SEUNetConfig, init_params
+from .checkpoint import load_params, save_params
+from .online_cache import OnlineCache
+from .schedule import CurriculumScheduler, Stage3Scheduler
+from .step import create_train_state, make_optimizer, make_train_step
+
+
+@dataclasses.dataclass
+class StageConfig:
+    data_root: str
+    file_root: str
+    file_path: str
+    model_savepath: str
+    log_savepath: str
+    epochs: int
+    batch_size: int = 8
+    cube: int = 128
+    lr: float = 1e-4
+    milestones: tuple = (60, 90)
+    aug: bool = True
+    seed: int = 777
+    online_savepath: str | None = None
+    pred_path: str | None = None  # pred_1 (stage 2) / pred_2 (stage 3)
+    br_skel_path: str | None = None
+    br_weight_path: str | None = None
+    start_params: Any = None  # params pytree or checkpoint path
+    validate_every: int = 1
+    mesh: Any = None
+    model_cfg: SEUNetConfig = dataclasses.field(default_factory=SEUNetConfig)
+
+
+def _init_state(cfg: StageConfig, stage: int, steps_per_epoch: int):
+    import jax
+
+    opt, _ = make_optimizer(
+        base_lr=cfg.lr, milestones=cfg.milestones,
+        steps_per_epoch=steps_per_epoch,
+    )
+    if cfg.start_params is None:
+        params = init_params(jax.random.key(cfg.seed), cfg.model_cfg)
+    elif isinstance(cfg.start_params, str):
+        params = load_params(cfg.start_params)
+    else:
+        params = cfg.start_params
+    state = create_train_state(params, opt)
+    step_fn = make_train_step(opt, cfg.model_cfg, stage=stage, mesh=cfg.mesh)
+    return state, step_fn
+
+
+def _epoch_pass(state, step_fn, batches, rng, log_every=10, cache=None,
+                cache_limit=0, epoch=0, n_volumes=0):
+    import jax
+
+    losses = []
+    for it, batch in enumerate(batches):
+        name = batch.pop("name", None)
+        rng, sub = jax.random.split(rng)
+        arrays = {k: v for k, v in batch.items()}
+        state, aux = step_fn(state, arrays, sub)
+        loss = float(aux["loss"])
+        losses.append(loss)
+        if cache is not None:
+            cache.add_batch(
+                arrays, np.asarray(aux["per_crop_gul"]), it, cache_limit
+            )
+        if it % log_every == 0:
+            parts = [f"epoch: {epoch}", f"iter {it + epoch * n_volumes}",
+                     f"loss: {loss:.4f}"]
+            for k in ("dice_en", "dice_de", "gul_en", "gul_de", "atr_en", "atr_de"):
+                if k in aux:
+                    parts.append(f"{k}: {float(aux[k]):.4f}")
+            print(" ".join(parts))
+        del name
+    return state, rng, losses
+
+
+def _validate(cfg: StageConfig, params, epoch: int, stage: int, dti=False):
+    from ..infer.engine import validate
+
+    names = load_json_file(cfg.file_path, "0", ("val",))
+    return validate(
+        params, cfg.model_cfg, names, cfg.data_root, cfg.file_root,
+        epoch, cfg.log_savepath, dti=dti, stage=stage,
+        cube=cfg.cube, step=cfg.cube // 2,
+    )
+
+
+def train_stage1(cfg: StageConfig):
+    import jax
+
+    dataset = Stage1Crops(
+        cfg.file_path, cfg.data_root, cfg.file_root,
+        batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
+    )
+    state, step_fn = _init_state(cfg, 1, len(dataset))
+    rng = jax.random.key(cfg.seed)
+    for ep in range(cfg.epochs):
+        state, rng, _ = _epoch_pass(
+            state, step_fn, Prefetcher(dataset), rng,
+            epoch=ep, n_volumes=len(dataset),
+        )
+        if ep == cfg.epochs - 1:
+            _validate(cfg, state.params, ep, stage=1, dti=False)
+        save_params(state.params, cfg.model_savepath, ep)
+    return state
+
+
+def train_stage2(cfg: StageConfig):
+    import jax
+
+    dataset = Stage2Crops(
+        cfg.file_path, cfg.data_root, cfg.file_root, cfg.pred_path,
+        batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
+    )
+    # double lr_scheduler.step() per epoch == halved epoch length
+    state, step_fn = _init_state(cfg, 2, max(len(dataset) // 2, 1))
+    scheduler = CurriculumScheduler()
+    cache = OnlineCache(cfg.online_savepath)
+    rng = jax.random.key(cfg.seed)
+    hist: dict[str, list] = {"tr": [], "th": [], "td": [], "bd": []}
+    cache_limit = int(len(dataset) * cfg.batch_size * 0.3)
+    for ep in range(cfg.epochs):
+        cache.reset()
+        dataset.hard_ratio = scheduler.hard_ratio
+        state, rng, _ = _epoch_pass(
+            state, step_fn, Prefetcher(dataset), rng,
+            cache=cache, cache_limit=cache_limit, epoch=ep,
+            n_volumes=len(dataset),
+        )
+        # online hard-mining second pass (reference train.py:469-491)
+        replay = OnlineCrops(cfg.online_savepath, rate=1.0)
+        for item in replay:
+            item.pop("name", None)
+            batch = {k: v[None] if v.ndim == 4 else v[None] for k, v in item.items()}
+            batch = {k: np.asarray(v, np.float32) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            state, _ = step_fn(state, batch, sub)
+        td, bd, vr, vh = _validate(cfg, state.params, ep, stage=2)
+        hist["td"].append(td)
+        hist["bd"].append(bd)
+        hist["tr"].append(vr)
+        hist["th"].append(vh)
+        scheduler.update(ep, hist["tr"], hist["th"], hist["td"], hist["bd"])
+        save_params(state.params, cfg.model_savepath, ep)
+    return state
+
+
+def train_stage3(cfg: StageConfig):
+    import jax
+
+    dataset = Stage3Crops(
+        cfg.file_path, cfg.data_root, cfg.file_root, cfg.pred_path,
+        cfg.br_skel_path, cfg.br_weight_path,
+        batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
+    )
+    state, step_fn = _init_state(cfg, 3, max(len(dataset) // 2, 1))
+    scheduler = Stage3Scheduler()
+    cache = OnlineCache(cfg.online_savepath, with_skel=True)
+    rng = jax.random.key(cfg.seed)
+    hist: dict[str, list] = {"tr": [], "th": [], "td": [], "bd": []}
+    cache_limit = int(len(dataset) * cfg.batch_size * 0.3)
+    for ep in range(cfg.epochs):
+        cache.reset()
+        dataset.hard_ratio = scheduler.hard_ratio
+        dataset.break_ratio = scheduler.break_ratio
+        state, rng, _ = _epoch_pass(
+            state, step_fn, Prefetcher(dataset), rng,
+            cache=cache, cache_limit=cache_limit, epoch=ep,
+            n_volumes=len(dataset),
+        )
+        replay = OnlineCrops(cfg.online_savepath, rate=1.0, with_skel=True)
+        for item in replay:
+            item.pop("name", None)
+            batch = {k: np.asarray(v, np.float32)[None] for k, v in item.items()}
+            rng, sub = jax.random.split(rng)
+            state, _ = step_fn(state, batch, sub)
+        td, bd, vr, vh = _validate(cfg, state.params, ep, stage=3)
+        hist["td"].append(td)
+        hist["bd"].append(bd)
+        hist["tr"].append(vr)
+        hist["th"].append(vh)
+        scheduler.update(ep, hist["tr"], hist["th"], hist["td"], hist["bd"])
+        save_params(state.params, cfg.model_savepath, ep)
+    return state

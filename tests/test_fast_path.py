@@ -1,0 +1,53 @@
+"""apply_fast (s2d TPU path) vs apply (reference semantics) parity."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+from se_unet_airseg_tpu.models.se_unet import apply, apply_fast
+
+
+def test_fast_path_matches_reference_path_eval():
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 32, 32, 32, 2), jnp.float32)
+    en, de = jax.jit(lambda p, x: apply(p, x, cfg=cfg))(params, x)
+    fen, fde = jax.jit(lambda p, x: apply_fast(p, x, cfg=cfg))(params, x)
+    np.testing.assert_allclose(np.asarray(fen), np.asarray(en), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fde), np.asarray(de), rtol=1e-3, atol=1e-4)
+
+
+def test_fast_path_matches_in_train_mode():
+    # same rng key -> identical DropLayer realization on both paths
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(2), cfg)
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 16, 2), jnp.float32)
+    rng = jax.random.key(7)
+    en, de = apply(params, x, cfg=cfg, train=True, rng=rng)
+    fen, fde = apply_fast(params, x, cfg=cfg, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(fen), np.asarray(en), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fde), np.asarray(de), rtol=1e-3, atol=1e-4)
+
+
+def test_fast_path_grads_match():
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(4), cfg)
+    x = jax.random.normal(jax.random.key(5), (1, 16, 16, 16, 2), jnp.float32)
+
+    def loss(fn):
+        def f(p):
+            en, de = fn(p, x, cfg=cfg)
+            return jnp.sum(jnp.square(en)) + jnp.sum(jnp.square(de))
+        return f
+
+    g_ref = jax.grad(loss(apply))(params)
+    g_fast = jax.grad(loss(apply_fast))(params)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_fast = jax.tree.leaves(g_fast)
+    assert len(flat_ref) == len(flat_fast)
+    for a, b in zip(flat_ref, flat_fast):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4
+        )
