@@ -77,7 +77,14 @@ class SlidingWindowRunner:
         use_sigmoid: bool = True,
         train_mode: bool = False,
         fast: bool = True,
+        mesh=None,
     ):
+        """`mesh`: optional device mesh — the tile batch is sharded over
+        its `data` axis (tiles are independent, SURVEY.md §5.7 plan a),
+        so a batch of N tiles runs N-way data-parallel per step; the
+        overlap accumulation stays replicated (XLA all-gathers the
+        per-tile probabilities, which are small next to the forward).
+        `batch` must be a multiple of the data-axis size."""
         self.params = params
         self.cfg = cfg
         self.cube = cube
@@ -86,6 +93,7 @@ class SlidingWindowRunner:
         self.head_idx = {"encoder": 0, "decoder": 1}[head]
         self.use_sigmoid = use_sigmoid
         self.train_mode = train_mode
+        self.mesh = mesh
         self.apply_fn = apply_fast if fast else se_unet_apply
         self._step_fn = self._build_step()
         self._finalize_prob = jax.jit(lambda p, c: p / jnp.maximum(c, 1.0))
@@ -103,6 +111,12 @@ class SlidingWindowRunner:
                 )
 
             tiles = jax.vmap(gather)(positions)  # (B, c, c, c, 2)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                )
             outs = apply_fn(
                 params, tiles, cfg=cfg, train=train_mode,
                 rng=rng if train_mode else None,

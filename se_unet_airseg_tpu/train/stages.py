@@ -79,7 +79,7 @@ def _init_state(cfg: StageConfig, stage: int, steps_per_epoch: int):
 
 
 def _epoch_pass(state, step_fn, batches, rng, log_every=10, cache=None,
-                cache_limit=0, epoch=0, n_volumes=0):
+                cache_limit=0, epoch=0, n_volumes=0, writer=None):
     import jax
 
     losses = []
@@ -94,6 +94,12 @@ def _epoch_pass(state, step_fn, batches, rng, log_every=10, cache=None,
             cache.add_batch(
                 arrays, np.asarray(aux["per_crop_gul"]), it, cache_limit
             )
+        if writer is not None:
+            scalars = {"loss": loss}
+            for k in ("dice_en", "dice_de", "gul_en", "gul_de", "atr_en", "atr_de"):
+                if k in aux:
+                    scalars[k] = float(aux[k])
+            writer.add_scalars("Train", scalars, it + epoch * n_volumes)
         if it % log_every == 0:
             parts = [f"epoch: {epoch}", f"iter {it + epoch * n_volumes}",
                      f"loss: {loss:.4f}"]
@@ -119,6 +125,10 @@ def _validate(cfg: StageConfig, params, epoch: int, stage: int, dti=False):
 def train_stage1(cfg: StageConfig):
     import jax
 
+    from .tensorboard import SummaryWriter
+
+    writer = SummaryWriter(os.path.join(os.path.dirname(cfg.log_savepath) or ".", "tb"))
+
     dataset = Stage1Crops(
         cfg.file_path, cfg.data_root, cfg.file_root,
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
@@ -128,7 +138,7 @@ def train_stage1(cfg: StageConfig):
     for ep in range(cfg.epochs):
         state, rng, _ = _epoch_pass(
             state, step_fn, Prefetcher(dataset), rng,
-            epoch=ep, n_volumes=len(dataset),
+            epoch=ep, n_volumes=len(dataset), writer=writer,
         )
         if ep == cfg.epochs - 1:
             _validate(cfg, state.params, ep, stage=1, dti=False)
@@ -138,6 +148,10 @@ def train_stage1(cfg: StageConfig):
 
 def train_stage2(cfg: StageConfig):
     import jax
+
+    from .tensorboard import SummaryWriter
+
+    writer = SummaryWriter(os.path.join(os.path.dirname(cfg.log_savepath) or ".", "tb"))
 
     dataset = Stage2Crops(
         cfg.file_path, cfg.data_root, cfg.file_root, cfg.pred_path,
@@ -156,7 +170,7 @@ def train_stage2(cfg: StageConfig):
         state, rng, _ = _epoch_pass(
             state, step_fn, Prefetcher(dataset), rng,
             cache=cache, cache_limit=cache_limit, epoch=ep,
-            n_volumes=len(dataset),
+            n_volumes=len(dataset), writer=writer,
         )
         # online hard-mining second pass (reference train.py:469-491)
         replay = OnlineCrops(cfg.online_savepath, rate=1.0)
@@ -179,6 +193,10 @@ def train_stage2(cfg: StageConfig):
 def train_stage3(cfg: StageConfig):
     import jax
 
+    from .tensorboard import SummaryWriter
+
+    writer = SummaryWriter(os.path.join(os.path.dirname(cfg.log_savepath) or ".", "tb"))
+
     dataset = Stage3Crops(
         cfg.file_path, cfg.data_root, cfg.file_root, cfg.pred_path,
         cfg.br_skel_path, cfg.br_weight_path,
@@ -197,7 +215,7 @@ def train_stage3(cfg: StageConfig):
         state, rng, _ = _epoch_pass(
             state, step_fn, Prefetcher(dataset), rng,
             cache=cache, cache_limit=cache_limit, epoch=ep,
-            n_volumes=len(dataset),
+            n_volumes=len(dataset), writer=writer,
         )
         replay = OnlineCrops(cfg.online_savepath, rate=1.0, with_skel=True)
         for item in replay:

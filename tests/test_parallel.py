@@ -1,0 +1,74 @@
+"""Multi-device semantics on the virtual 8-device CPU mesh
+(SURVEY.md §4 item 4): sharded == single-device, train and inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+from se_unet_airseg_tpu.parallel import make_mesh
+from se_unet_airseg_tpu.train import create_train_state, make_train_step
+from se_unet_airseg_tpu.train.step import make_optimizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _batch(b, s, rng):
+    return {
+        "image": rng.random((b, s, s, s, 2), np.float32),
+        "label": (rng.random((b, s, s, s)) > 0.7).astype(np.float32),
+        "weight": rng.random((b, s, s, s)).astype(np.float32),
+        "skel": (rng.random((b, s, s, s)) > 0.9).astype(np.float32),
+    }
+
+
+def test_sharded_train_step_matches_single_device():
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(0), cfg)
+    opt, _ = make_optimizer(steps_per_epoch=1)
+    batch = _batch(8, 16, np.random.default_rng(0))
+    rng = jax.random.key(42)
+
+    # the step donates its input state, so give each run its own copy
+    copy = lambda t: jax.tree.map(lambda a: jnp.array(a), t)
+    state1 = create_train_state(copy(params), opt)
+    step1 = make_train_step(opt, cfg, stage=3)
+    state1, aux1 = step1(state1, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+
+    mesh = make_mesh(n_data=4, n_space=2)
+    state2 = create_train_state(copy(params), opt)
+    step2 = make_train_step(opt, cfg, stage=3, mesh=mesh, shard_space=True)
+    state2, aux2 = step2(state2, batch, rng)
+
+    np.testing.assert_allclose(
+        float(aux2["loss"]), float(aux1["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree.leaves(state1.params)
+    l2 = jax.tree.leaves(state2.params)
+    # Adam's first update is ~ +/- lr * sign(grad): psum reduction-order
+    # noise flips the sign of near-zero gradients, so elements may
+    # differ by up to 2*lr = 2e-4; bound by that, and check the bulk
+    # agrees far tighter.
+    for a, b in zip(l1, l2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, atol=2.5e-4)
+
+
+def test_sharded_inference_matches_single_device():
+    from se_unet_airseg_tpu.infer import SlidingWindowRunner
+
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(1), cfg)
+    vol = (np.random.default_rng(1).random((48, 32, 32)) * 1000 - 900).astype(
+        np.float32
+    )
+    single = SlidingWindowRunner(params, cfg, cube=32, step=16, batch=4)
+    mesh = make_mesh(n_data=4, n_space=1)
+    sharded = SlidingWindowRunner(params, cfg, cube=32, step=16, batch=4, mesh=mesh)
+    p1 = single.predict_hu(vol)
+    p2 = sharded.predict_hu(vol)
+    np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=1e-5)
