@@ -225,6 +225,138 @@ def tree_parsing_func(skeleton_parse: np.ndarray, label: np.ndarray,
     return out.astype(np.uint16)
 
 
+def compute_base_vector(vol: np.ndarray, order: int) -> np.ndarray:
+    """Direction of the main airway from two axial slice centroids
+    (reference ours_skel_parse.py:166-196)."""
+    zs = np.where(vol.any(axis=(0, 1)))[0]
+    minz, maxz = int(zs.min()), int(zs.max())
+    cha = maxz - minz
+    if order == 1:
+        z1, z2 = int(maxz - 0.1 * cha), int(0.6 * cha + minz)
+    else:
+        z1, z2 = int(minz + 0.1 * cha), int(0.4 * cha + minz)
+    c1 = np.argwhere(vol[:, :, z1] > 0).mean(axis=0)
+    c2 = np.argwhere(vol[:, :, z2] > 0).mean(axis=0)
+    if order == 1:
+        return np.array([c2[0] - c1[0], c2[1] - c1[1], z1 - z2], np.float64)
+    return np.array([c2[0] - c1[0], c2[1] - c1[1], z2 - z1], np.float64)
+
+
+def _cosine(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def find_mainpart_index(max_seed_z: float, branches: list[Branch],
+                        basev: np.ndarray) -> int:
+    """Walk the first branches and find where the main airway ends —
+    the first long branch whose direction falls off the trachea axis
+    (cosine thresholds from reference ours_skel_parse.py:205-245)."""
+    mainpart = []
+    for i, b in enumerate(branches):
+        if i > 20:
+            break
+        if len(b.member) == 0:
+            continue
+        if len(b.member) > max_seed_z / 3.6:
+            break
+        v = np.asarray(b.member[-1], np.float64) - np.asarray(b.start, np.float64)
+        if len(b.member) > 12:
+            mainpart.append((i, _cosine(basev, v)))
+    flag = False
+    for i, cos in mainpart:
+        if cos < 0.928 and not flag:
+            continue
+        if cos > 0.928:
+            flag = True
+        if cos < 0.93 and flag:
+            return i
+    return 0
+
+
+def smooth_points(pts: np.ndarray) -> np.ndarray:
+    """Resample the main-airway centerline through 4 control points,
+    clamp steps to +/-1 voxel, dedup by z and enforce continuity
+    (reference ours_skel_parse.py:247-330)."""
+    from scipy.interpolate import interp1d
+
+    n = len(pts)
+    idx = np.arange(0, n, max(n // 3, 1))
+    idx = np.append(idx, [n - 1])
+    if abs(idx[-2] - idx[-1]) < 5:
+        idx = np.delete(idx, -2)
+    sel = pts[idx].astype(np.float64)
+    t = np.linspace(0, n - 1, n)
+    interp = np.stack(
+        [interp1d(idx, sel[:, k], kind="linear", fill_value="extrapolate")(t)
+         for k in range(3)],
+        axis=1,
+    )
+    # clamp consecutive steps to +/-1
+    out = np.zeros_like(interp, dtype=int)
+    out[0] = np.round(interp[0]).astype(int)
+    for i in range(1, n):
+        cur = np.round(interp[i]).astype(int)
+        for k in range(3):
+            if abs(cur[k] - out[i - 1][k]) > 1:
+                cur[k] = out[i - 1][k] + np.sign(cur[k] - out[i - 1][k])
+        out[i] = cur
+    out = out[np.argsort(out[:, 2], kind="stable")]
+    # dedup by z (keep first per z), reverse, re-enforce continuity
+    uniq, last_z = [], None
+    for pt in out:
+        if pt[2] != last_z:
+            uniq.append(pt)
+            last_z = pt[2]
+    uniq = list(reversed(uniq))
+    final = [uniq[0]]
+    for pt in uniq[1:]:
+        cur = pt.copy()
+        prev = final[-1]
+        for k in range(3):
+            if abs(cur[k] - prev[k]) > 1:
+                cur[k] = prev[k] + np.sign(cur[k] - prev[k])
+        final.append(cur)
+    return np.flip(np.asarray(final), axis=0)
+
+
+def replace_mainairway(B: np.ndarray, branches: list[Branch], mmm: int) -> np.ndarray:
+    """Substitute the first `mmm` branches' points with the smoothed
+    centerline inside the full skeleton point cloud (reference
+    ours_skel_parse.py:333-386). Returns the new point cloud, to be
+    re-subsectioned."""
+    main = []
+    for i, b in enumerate(branches):
+        if i >= mmm:
+            break
+        main.append(b.start)
+        main += b.member
+        if b.end is not None:
+            main.append(b.end)
+    main = np.unique(np.asarray(main), axis=0)
+
+    # order the main points by their (reversed) position in B
+    index_map = {tuple(row): i for i, row in enumerate(B[::-1].tolist())}
+    main = np.asarray(
+        sorted(main.tolist(), key=lambda r: index_map.get(tuple(r), 0))
+    )
+    new_main = smooth_points(main)
+
+    # drop the main points beyond the smoothed length, replace the rest
+    cut = main[: len(main) - len(new_main)]
+    cut_set = set(map(tuple, cut.tolist()))
+    keep = np.asarray([r for r in B.tolist() if tuple(r) not in cut_set])
+    main_tail = main[len(main) - len(new_main):]
+    tail_set = {tuple(r): k for k, r in enumerate(main_tail.tolist())}
+    out = keep.copy()
+    replaced = {}
+    for i, row in enumerate(keep.tolist()):
+        k = tail_set.get(tuple(row))
+        if k is not None and k not in replaced:
+            out[i] = new_main[k]
+            replaced[k] = True
+    return out
+
+
 def detect_order(mask: np.ndarray) -> int:
     """Trachea orientation: compare largest 2-D component areas at 20%
     vs 80% of the z-span (reference tree_parsing.py:23-38)."""
@@ -286,10 +418,20 @@ class TopologyTree:
         B = B[B[:, 2].argsort(kind="stable")]
         self.origin = B.mean(axis=0)
         if self.order == 1:
+            # flip z so the walk seeds at the trachea; row order stays
+            # original-z ascending, exactly like the reference
             B = B.copy()
             B[:, 2] = self.label.shape[2] - B[:, 2]
         self.B = B
         self.Bi = subsection(B)
+        # trachea-centerline smoothing: rewrite the main-airway points
+        # and re-subsection (reference ours_skel_parse.py:590-597)
+        basev = compute_base_vector(vol, self.order)
+        mmm = find_mainpart_index(float(B[0, 2]), self.Bi, basev)
+        if mmm > 1:
+            B = replace_mainairway(B, self.Bi, mmm)
+            self.B = B
+            self.Bi = subsection(B)
 
     def merge(self):
         self.Bi = merging(self.Bi, self.merge_t)
