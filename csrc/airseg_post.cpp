@@ -436,4 +436,98 @@ void edt_sq(const uint8_t* in, int64_t d, int64_t h, int64_t w,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Isosurface extraction: marching tetrahedra.
+//
+// Replaces skimage.measure.marching_cubes for the STL export path
+// (reference prediction.py:126-145, ours_skel_parse.py:1023-1046).
+// Each cell is split into 6 tetrahedra; per-tetrahedron triangulation
+// has only 3 case classes (1-inside -> 1 tri, 2-inside -> 2 tris),
+// derived programmatically — no lookup tables. Produces a watertight
+// triangle soup at the `level` isosurface with linear interpolation.
+//
+// Two-phase API (count, then fill caller-allocated buffer):
+//   n_tris = march_tets(vol, d, h, w, level, nullptr, 0)
+//   march_tets(vol, d, h, w, level, out, n_tris)   // out: n*9 floats
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct V3 { float x, y, z; };
+
+static inline V3 lerp_iso(const float* vol, int64_t hw, int64_t w,
+                          int az, int ay, int ax, int bz, int by, int bx,
+                          float level) {
+  const float va = vol[az * hw + ay * w + ax];
+  const float vb = vol[bz * hw + by * w + bx];
+  float t = (level - va) / (vb - va);
+  if (t < 0.f) t = 0.f;
+  if (t > 1.f) t = 1.f;
+  return V3{az + t * (bz - az), ay + t * (by - ay), ax + t * (bx - ax)};
+}
+
+}  // namespace
+
+extern "C" int64_t march_tets(const float* vol, int64_t d, int64_t h, int64_t w,
+                              float level, float* out, int64_t capacity) {
+  const int64_t hw = h * w;
+  // cube corners (dz, dy, dx)
+  static const int C[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                              {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+  // 6-tetrahedra decomposition of the cube around the main diagonal 0-7
+  static const int T[6][4] = {{0,1,3,7},{0,3,2,7},{0,2,6,7},
+                              {0,6,4,7},{0,4,5,7},{0,5,1,7}};
+  int64_t n = 0;
+  auto emit = [&](const V3& a, const V3& b, const V3& c) {
+    if (out && n < capacity) {
+      float* t = out + n * 9;
+      t[0]=a.z; t[1]=a.y; t[2]=a.x;  // store as (z,y,x) triplets
+      t[3]=b.z; t[4]=b.y; t[5]=b.x;
+      t[6]=c.z; t[7]=c.y; t[8]=c.x;
+    }
+    n++;
+  };
+  for (int64_t z = 0; z + 1 < d; z++)
+    for (int64_t y = 0; y + 1 < h; y++)
+      for (int64_t x = 0; x + 1 < w; x++) {
+        float vals[8];
+        bool any_in = false, any_out = false;
+        for (int k = 0; k < 8; k++) {
+          vals[k] = vol[(z + C[k][0]) * hw + (y + C[k][1]) * w + (x + C[k][2])];
+          (vals[k] > level ? any_in : any_out) = true;
+        }
+        if (!any_in || !any_out) continue;
+        for (auto& tet : T) {
+          int in_ids[4], out_ids[4];
+          int ni = 0, no = 0;
+          for (int k = 0; k < 4; k++) {
+            if (vals[tet[k]] > level) in_ids[ni++] = tet[k];
+            else out_ids[no++] = tet[k];
+          }
+          if (ni == 0 || ni == 4) continue;
+          auto P = [&](int a, int b) {
+            return lerp_iso(vol, hw, w,
+                            (int)(z + C[a][0]), (int)(y + C[a][1]), (int)(x + C[a][2]),
+                            (int)(z + C[b][0]), (int)(y + C[b][1]), (int)(x + C[b][2]),
+                            level);
+          };
+          if (ni == 1) {
+            emit(P(in_ids[0], out_ids[0]), P(in_ids[0], out_ids[1]),
+                 P(in_ids[0], out_ids[2]));
+          } else if (ni == 3) {
+            emit(P(in_ids[0], out_ids[0]), P(in_ids[1], out_ids[0]),
+                 P(in_ids[2], out_ids[0]));
+          } else {  // ni == 2: quad -> 2 triangles
+            V3 p00 = P(in_ids[0], out_ids[0]);
+            V3 p01 = P(in_ids[0], out_ids[1]);
+            V3 p10 = P(in_ids[1], out_ids[0]);
+            V3 p11 = P(in_ids[1], out_ids[1]);
+            emit(p00, p01, p11);
+            emit(p00, p11, p10);
+          }
+        }
+      }
+  return n;
+}
+
 }  // extern "C"

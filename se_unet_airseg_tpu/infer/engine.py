@@ -225,4 +225,21 @@ def network_prediction(
     pred = largest_component(pred)
     out_path = os.path.join(save_dir, name + "_pred_mask.nii.gz")
     write_nifti(out_path, pred, img.spacing, img.origin, img.direction)
+
+    # STL export, skeleton-centered and /10 scaled like the reference
+    # (prediction.py:126-145); marching tetrahedra instead of skimage
+    try:
+        from ..post import skeletonize_3d
+        from ..post.mesh import export_mask_stl
+
+        if pred.sum() > 0:
+            skel = skeletonize_3d(pred)
+            coords = np.argwhere(skel > 0)
+            center = coords.mean(axis=0) if len(coords) else np.zeros(3)
+            export_mask_stl(
+                os.path.join(save_dir, name + "_seg.stl"),
+                pred, center=center, scale=10.0,
+            )
+    except RuntimeError:
+        pass  # native lib unavailable: mask output only
     return out_path
