@@ -41,11 +41,17 @@ def _load_case(data_root: str, name: str):
     return img, label.array.astype(np.uint8)
 
 
-def _binarize(runner, hu, dti_on: bool, h: float, l: float, rng=None):
+def _binarize(runner, stored, dti_on: bool, h: float, l: float, rng=None):
+    """`stored` is the on-disk int16 HU+1024 volume; the -1024 shift
+    happens on device (half-size uploads)."""
     if dti_on:
-        trits = runner.predict_trits(hu, h_thresh=h, l_thresh=l, rng=rng)
+        trits = runner.predict_trits(
+            stored, h_thresh=h, l_thresh=l, rng=rng, hu_shift=-1024.0
+        )
         return dti_fn(trits_to_scores(trits, h, l), h, l)
-    trits = runner.predict_trits(hu, h_thresh=0.5, l_thresh=0.5, rng=rng)
+    trits = runner.predict_trits(
+        stored, h_thresh=0.5, l_thresh=0.5, rng=rng, hu_shift=-1024.0
+    )
     return (trits == 2).astype(np.uint8)
 
 
@@ -96,9 +102,8 @@ def validate(
     metrics, rand_dice, hard_dice = [], [], []
     for i, name in enumerate(names):
         img, label = _load_case(data_root, name)
-        hu = img.array.astype(np.float32) - 1024.0
         case_rng = jax.random.fold_in(rng, i)
-        pred = _binarize(runner, hu, dti, 0.5, 0.4, rng=case_rng)
+        pred = _binarize(runner, img.array, dti, 0.5, 0.4, rng=case_rng)
         if stage != 1:
             p1 = read_nifti(os.path.join(file_root, "pred_1", name + ".nii.gz")).array
             if p1.ndim > 3:
@@ -151,8 +156,7 @@ def run_test(
     metrics = []
     for i, name in enumerate(names):
         img, label = _load_case(data_root, name)
-        hu = img.array.astype(np.float32) - 1024.0
-        pred = _binarize(runner, hu, dti, 0.5, 0.35, rng=jax.random.fold_in(rng, i))
+        pred = _binarize(runner, img.array, dti, 0.5, 0.35, rng=jax.random.fold_in(rng, i))
         pred = border_suppress(pred)
         pred = largest_component(pred)
         write_nifti(
@@ -216,10 +220,11 @@ def network_prediction(
     os.makedirs(save_dir, exist_ok=True)
     name = preprocess_ct_volume(ct_path, save_dir, mode="prediction")
     img = read_nifti(os.path.join(save_dir, name + "data_cut.nii.gz"))
-    hu = img.array.astype(np.float32) - 1024.0
 
     runner = SlidingWindowRunner(params, cfg, train_mode=False)
-    trits = runner.predict_trits(hu, h_thresh=h_thresh, l_thresh=l_thresh)
+    trits = runner.predict_trits(
+        img.array, h_thresh=h_thresh, l_thresh=l_thresh, hu_shift=-1024.0
+    )
     pred = dti_fn(trits_to_scores(trits, h_thresh, l_thresh), h_thresh, l_thresh)
     pred = border_suppress(pred)
     pred = largest_component(pred)

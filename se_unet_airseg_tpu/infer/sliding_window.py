@@ -158,14 +158,21 @@ class SlidingWindowRunner:
         t = trit.reshape(-1, 4)
         return t[:, 0] | (t[:, 1] << 2) | (t[:, 2] << 4) | (t[:, 3] << 6)
 
-    def _run(self, hu_volume: np.ndarray, rng):
+    def _run(self, hu_volume: np.ndarray, rng, hu_shift: float = 0.0):
+        # integer CT volumes (the stored data_cut contract is int16
+        # HU+1024) upload at half the bytes; the shift to true HU and
+        # the f32 conversion happen on device
+        keep_dtype = hu_volume.dtype if hu_volume.dtype == np.int16 else np.float32
+        fill = -1024.0 - hu_shift
         vol_np, orig_shape = _pad_to_multiple(
-            hu_volume.astype(np.float32), self.step, self.cube, fill=-1024.0
+            hu_volume.astype(keep_dtype), self.step, self.cube, fill=fill
         )
         pos = tile_positions(vol_np.shape, self.cube, self.step)
         pos = pad_positions_to_batch(pos, self.batch)
 
-        vol = hu_dual_window(jnp.asarray(vol_np))  # (D,H,W,2) on device
+        vol = hu_dual_window(
+            jnp.asarray(vol_np).astype(jnp.float32) + jnp.float32(hu_shift)
+        )  # (D,H,W,2) on device
         pred = jnp.zeros(vol_np.shape, jnp.float32)
         cnt = jnp.zeros(vol_np.shape, jnp.float32)
         if rng is None:
@@ -178,20 +185,24 @@ class SlidingWindowRunner:
             pred, cnt = self._step_fn(self.params, vol, pred, cnt, pb, rngs[b])
         return pred, cnt, vol_np.shape, orig_shape
 
-    def predict_hu(self, hu_volume: np.ndarray, rng=None) -> np.ndarray:
-        """HU volume (D,H,W) -> float32 averaged score volume."""
-        pred, cnt, _, orig = self._run(hu_volume, rng)
+    def predict_hu(self, hu_volume: np.ndarray, rng=None,
+                   hu_shift: float = 0.0) -> np.ndarray:
+        """HU volume (D,H,W) -> float32 averaged score volume.
+
+        `hu_shift` is added on device (pass -1024 with the stored
+        int16 HU+1024 volumes to halve the upload)."""
+        pred, cnt, _, orig = self._run(hu_volume, rng, hu_shift)
         out = np.asarray(self._finalize_prob(pred, cnt))
         d, h, w = orig
         return out[:d, :h, :w]
 
     def predict_trits(
         self, hu_volume: np.ndarray, *, h_thresh: float = 0.5,
-        l_thresh: float = 0.4, rng=None,
+        l_thresh: float = 0.4, rng=None, hu_shift: float = 0.0,
     ) -> np.ndarray:
         """HU volume -> uint8 trit volume (0 below / 1 band / 2 seed),
         thresholded and packed on device (16x smaller download)."""
-        pred, cnt, padded_shape, orig = self._run(hu_volume, rng)
+        pred, cnt, padded_shape, orig = self._run(hu_volume, rng, hu_shift)
         packed = np.asarray(
             self._finalize_trits(pred, cnt, float(h_thresh), float(l_thresh))
         )

@@ -99,9 +99,9 @@ def save_stage_pred(
     names = load_json_file(file_path, "0", ("train", "val"))
     for i, name in enumerate(sorted(names)):
         img = read_nifti(os.path.join(data_root, "data", name + "data_cut.nii.gz"))
-        hu = img.array.astype(np.float32) - 1024.0
         trits = runner.predict_trits(
-            hu, h_thresh=0.5, l_thresh=0.5, rng=jax.random.fold_in(jax.random.key(1), i)
+            img.array, h_thresh=0.5, l_thresh=0.5,
+            rng=jax.random.fold_in(jax.random.key(1), i), hu_shift=-1024.0,
         )
         pred = (trits == 2).astype(np.uint8)
         # leading 1-axis mirrors the reference's nibabel [1,D,H,W] files

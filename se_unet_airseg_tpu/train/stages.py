@@ -30,7 +30,7 @@ import numpy as np
 from ..data.datasets import OnlineCrops, Prefetcher, Stage1Crops, Stage2Crops, Stage3Crops
 from ..data.splits import load_json_file
 from ..models.se_unet import SEUNetConfig, init_params
-from .checkpoint import load_params, save_params
+from .checkpoint import load_params, load_state, save_params, save_state
 from .online_cache import OnlineCache
 from .schedule import CurriculumScheduler, Stage3Scheduler
 from .step import create_train_state, make_optimizer, make_train_step
@@ -58,6 +58,47 @@ class StageConfig:
     validate_every: int = 1
     mesh: Any = None
     model_cfg: SEUNetConfig = dataclasses.field(default_factory=SEUNetConfig)
+
+
+def _auto_resume(cfg: StageConfig, state):
+    """Resume from the newest full-state checkpoint in model_savepath
+    (the recovery story the reference lacks — SURVEY.md §5.3: its
+    resume is commented-out torch.load lines). Returns
+    (state, start_epoch, meta) where meta carries scheduler state."""
+    import glob
+    import json as _json
+
+    paths = glob.glob(os.path.join(cfg.model_savepath, "state_*.msgpack"))
+    if not paths:
+        return state, 0, {}
+    latest = max(paths, key=lambda p: int(p.split("_")[-1].split(".")[0]))
+    ep = int(latest.split("_")[-1].split(".")[0])
+    state = load_state(latest, state)
+    meta_path = os.path.join(cfg.model_savepath, "resume_meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    print(f"[resume] continuing from epoch {ep + 1} ({latest})")
+    return state, ep + 1, meta
+
+
+def _save_resume_point(cfg: StageConfig, state, ep: int, meta: dict):
+    import json as _json
+
+    save_state(state, cfg.model_savepath, ep)
+    with open(os.path.join(cfg.model_savepath, "resume_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    # keep only the two newest full states (params snapshots are kept
+    # per-epoch separately, matching the reference cadence)
+    import glob
+
+    paths = sorted(
+        glob.glob(os.path.join(cfg.model_savepath, "state_*.msgpack")),
+        key=lambda p: int(p.split("_")[-1].split(".")[0]),
+    )
+    for old in paths[:-2]:
+        os.remove(old)
 
 
 def _init_state(cfg: StageConfig, stage: int, steps_per_epoch: int):
@@ -134,8 +175,9 @@ def train_stage1(cfg: StageConfig):
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
     )
     state, step_fn = _init_state(cfg, 1, len(dataset))
+    state, start_ep, _ = _auto_resume(cfg, state)
     rng = jax.random.key(cfg.seed)
-    for ep in range(cfg.epochs):
+    for ep in range(start_ep, cfg.epochs):
         state, rng, _ = _epoch_pass(
             state, step_fn, Prefetcher(dataset), rng,
             epoch=ep, n_volumes=len(dataset), writer=writer,
@@ -143,6 +185,7 @@ def train_stage1(cfg: StageConfig):
         if ep == cfg.epochs - 1:
             _validate(cfg, state.params, ep, stage=1, dti=False)
         save_params(state.params, cfg.model_savepath, ep)
+        _save_resume_point(cfg, state, ep, {})
     return state
 
 
@@ -164,7 +207,11 @@ def train_stage2(cfg: StageConfig):
     rng = jax.random.key(cfg.seed)
     hist: dict[str, list] = {"tr": [], "th": [], "td": [], "bd": []}
     cache_limit = int(len(dataset) * cfg.batch_size * 0.3)
-    for ep in range(cfg.epochs):
+    state, start_ep, meta = _auto_resume(cfg, state)
+    if meta:
+        scheduler.hard_ratio = meta.get("hard_ratio", scheduler.hard_ratio)
+        hist = meta.get("hist", hist)
+    for ep in range(start_ep, cfg.epochs):
         cache.reset()
         dataset.hard_ratio = scheduler.hard_ratio
         state, rng, _ = _epoch_pass(
@@ -187,6 +234,9 @@ def train_stage2(cfg: StageConfig):
         hist["th"].append(vh)
         scheduler.update(ep, hist["tr"], hist["th"], hist["td"], hist["bd"])
         save_params(state.params, cfg.model_savepath, ep)
+        _save_resume_point(
+            cfg, state, ep, {"hard_ratio": scheduler.hard_ratio, "hist": hist}
+        )
     return state
 
 
@@ -208,7 +258,12 @@ def train_stage3(cfg: StageConfig):
     rng = jax.random.key(cfg.seed)
     hist: dict[str, list] = {"tr": [], "th": [], "td": [], "bd": []}
     cache_limit = int(len(dataset) * cfg.batch_size * 0.3)
-    for ep in range(cfg.epochs):
+    state, start_ep, meta = _auto_resume(cfg, state)
+    if meta:
+        scheduler.hard_ratio = meta.get("hard_ratio", scheduler.hard_ratio)
+        scheduler.break_ratio = meta.get("break_ratio", scheduler.break_ratio)
+        hist = meta.get("hist", hist)
+    for ep in range(start_ep, cfg.epochs):
         cache.reset()
         dataset.hard_ratio = scheduler.hard_ratio
         dataset.break_ratio = scheduler.break_ratio
@@ -230,4 +285,9 @@ def train_stage3(cfg: StageConfig):
         hist["th"].append(vh)
         scheduler.update(ep, hist["tr"], hist["th"], hist["td"], hist["bd"])
         save_params(state.params, cfg.model_savepath, ep)
+        _save_resume_point(
+            cfg, state, ep,
+            {"hard_ratio": scheduler.hard_ratio,
+             "break_ratio": scheduler.break_ratio, "hist": hist},
+        )
     return state
