@@ -52,6 +52,13 @@ def ours_parse_case(pred: np.ndarray, spacing, merge_t: int, save_dir: str,
     tree.sub()
     tree.merge()
     tree.grade()
+    tree.regrade()
+    # the reference's remerge trigger flags (rb23/rb12) are initialized
+    # but never set there, so this matches: remerge stays reachable via
+    # the same condition (reference tree_parsing.py:49-51)
+    if tree.flags.get("rb23") == 1 or tree.flags.get("rb12") == 1:
+        tree.remerge()
+        tree.regrade()
     centerline_time = time.time() - t0
     print("Centerline segment time %d seconds" % centerline_time)
 

@@ -446,6 +446,46 @@ class TopologyTree:
     def grade(self):
         self.Bi_g = grade(self.Bi)
 
+    def regrade(self):
+        """Anatomical relabeling of the hierarchical codes (reference
+        ours_skel_parse.py:653-978); sets the rb*/lb*/l010 missing-
+        branch flags the CLI consults for conditional remerge."""
+        from .regrade import AnatomicalRegrader
+
+        codes = [
+            {"code": g["code"], "father_code": g["father_code"]}
+            for g in self.Bi_g
+        ]
+        self.Bi_g, self.flags = AnatomicalRegrader(self.Bi, codes, self.order).run()
+
+    def remerge(self):
+        """Targeted re-merge of the shortest child under each code in
+        remerge_l (reference ours_skel_parse.py:483-513, 648-651),
+        then re-grade."""
+        by_code = {g["code"]: i for i, g in enumerate(self.Bi_g)}
+        cut: set[int] = set()
+        for code in self.remerge_l:
+            kids = [
+                i for i, g in enumerate(self.Bi_g) if g["father_code"] == code
+            ]
+            if not kids or len(kids) > 3:
+                continue
+            shortest = min(kids, key=lambda i: len(self.Bi[i]))
+            b = self.Bi[shortest]
+            for child in self.Bi:
+                if child.father == b.index:
+                    child.father = b.father
+                    glue = list(b.member)
+                    if b.end is not None:
+                        glue.append(b.end)
+                    glue.append(child.start)
+                    child.member = glue + child.member
+                    child.start = b.start
+            cut.add(shortest)
+        self.Bi = [b for i, b in enumerate(self.Bi) if i not in cut]
+        del by_code
+        self.grade()
+
     def parse_map(self) -> np.ndarray:
         # EDT runs on the bounding box only — nearest-skeleton
         # assignment is local to the airway
