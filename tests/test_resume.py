@@ -22,7 +22,9 @@ def tiny_env(tmp_path):
     for n in names:
         hu = rng.normal(30, 10, (40, 40, 40)).astype(np.float32)
         mask = np.zeros((40, 40, 40), np.uint8)
-        mask[18:22, 18:22, 4:36] = 1
+        # odd-width tube + side branch: stable under tip-eroding thinning
+        mask[18:21, 18:21, 4:36] = 1
+        mask[18:21, 21:32, 18:21] = 1
         hu[mask == 1] = -950
         write_nifti(str(data_dir / f"{n}data_cut.nii.gz"), (hu + 1024).astype(np.int16))
         write_nifti(str(mask_dir / f"{n}mask_cut.nii.gz"), mask)

@@ -18,9 +18,9 @@ def make_tube_case(rng, shape=(48, 48, 48)):
     mask = np.zeros(shape, np.uint8)
     y = shape[0] // 2 + int(rng.integers(-6, 6))
     x = shape[1] // 2 + int(rng.integers(-6, 6))
-    mask[y - 2 : y + 2, x - 2 : x + 2, 4:44] = 1
+    mask[y - 1 : y + 2, x - 1 : x + 2, 4:44] = 1  # odd width: stable skeleton
     # side branch
-    mask[y - 2 : y + 2, x : x + 14, 22:25] = 1
+    mask[y - 1 : y + 2, x : x + 14, 22:25] = 1
     hu[mask == 1] = -950.0
     return hu, mask
 
