@@ -36,8 +36,12 @@ def conv3d(
     else:
         pad = padding
     # Precision.HIGHEST: with bf16 inputs this is the native single-pass
-    # MXU bf16xbf16->f32 (free); with f32 inputs it forbids the DEFAULT
-    # bf16 down-conversion, giving true fp32 for parity testing.
+    # MXU bf16xbf16 with f32 internal accumulation (free); with f32
+    # inputs it forbids the DEFAULT bf16 down-conversion, giving true
+    # fp32 for parity testing. NOTE: preferred_element_type is
+    # deliberately NOT set — with bf16 inputs it would make the
+    # primitive's output f32 and break the conv transpose in the vjp
+    # (jax feeds the f32 cotangent against bf16 residuals).
     y = lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -45,7 +49,6 @@ def conv3d(
         padding=pad,
         rhs_dilation=(dilation, dilation, dilation),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
     )
     if bias is not None:
