@@ -71,6 +71,26 @@ def ours_parse_case(pred: np.ndarray, spacing, merge_t: int, save_dir: str,
     parse_map = tree.parse_map()
     tree_parse_time = time.time() - t0
     write_nifti(os.path.join(save_dir, stem + "_parse_map.nii.gz"), parse_map)
+    # STL surface + centerline/parse renders (the reference's pyvista
+    # outputs, emitted via marching tetrahedra + matplotlib here)
+    try:
+        from ..post.mesh import export_mask_stl
+        from ..post.render import render_centerlines, render_parse_map
+
+        export_mask_stl(
+            os.path.join(save_dir, stem + ".stl"), tree.label,
+            center=tree.origin, scale=10.0,
+        )
+        render_centerlines(
+            tree.Bi, os.path.join(save_dir, stem + "_line.png"),
+            title=f"{stem}: {tree.branch_count} branches",
+        )
+        render_parse_map(
+            parse_map, os.path.join(save_dir, stem + "_parse.png"),
+            gif_path=os.path.join(save_dir, stem + "_parse.gif"),
+        )
+    except Exception as e:  # rendering is best-effort
+        print(f"render skipped: {type(e).__name__}: {e}")
     print("Airway tree parse time %d seconds" % tree_parse_time)
     print("Number of branches %d " % tree.branch_count)
 
