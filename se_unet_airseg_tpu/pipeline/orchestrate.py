@@ -35,7 +35,12 @@ class PipelineConfig:
     batch_size: int = 8
     cube: int = 128
     seed: int = 777
-    model_cfg: SEUNetConfig = dataclasses.field(default_factory=SEUNetConfig)
+    # remat by default: a 128^3 crop batch does not fit one chip's HBM
+    # during backward otherwise (measured: B=2 works at 1.28 s/step on
+    # a 16 GB v5e with remat; B>=2 OOMs without)
+    model_cfg: SEUNetConfig = dataclasses.field(
+        default_factory=lambda: SEUNetConfig(remat=True)
+    )
     mesh: object = None
 
 
