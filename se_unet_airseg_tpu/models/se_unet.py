@@ -491,6 +491,28 @@ def apply_fast(
     x = x.astype(dt)
     cat = lambda *ts: jnp.concatenate(ts, axis=-1)
 
+    if cfg.remat:
+        # rematerialize each block in backward so 128^3 crop training
+        # fits single-chip HBM on the fast path too
+        def _wrap(f):
+            def wrapped(pb, xb, **kw):
+                return jax.checkpoint(lambda p_, x_: f(p_, x_, **kw))(pb, xb)
+            return wrapped
+
+        _sse_block_s2d = _wrap(globals()["_sse_block_s2d"])
+        _sse_block_s2d_dil2 = _wrap(globals()["_sse_block_s2d_dil2"])
+        _sse_block_s2d_phased = _wrap(globals()["_sse_block_s2d_phased"])
+        _sse_block = _wrap(globals()["_sse_block"])
+        _cat_block_s2d = jax.checkpoint(globals()["_cat_block_s2d"])
+        _cat_block = jax.checkpoint(globals()["_cat_block"])
+    else:
+        _sse_block_s2d = globals()["_sse_block_s2d"]
+        _sse_block_s2d_dil2 = globals()["_sse_block_s2d_dil2"]
+        _sse_block_s2d_phased = globals()["_sse_block_s2d_phased"]
+        _sse_block = globals()["_sse_block"]
+        _cat_block_s2d = globals()["_cat_block_s2d"]
+        _cat_block = globals()["_cat_block"]
+
     # ---- encoder level 1 (s2d) ----
     xs = space_to_depth(x)  # (B, n, n, n, 16)
     e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False)
