@@ -297,7 +297,7 @@ def apply(
 # ---------------------------------------------------------------------------
 
 
-def _sse_block_s2d(p: Params, x, want_side: bool = True):
+def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1):
     """SSEConv (one SE gate) on an s2d tensor via block-lifted conv.
 
     Only used at full resolution where side upsampling is identity, so
@@ -314,14 +314,15 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True):
     wb = conv3_weight_to_s2d(p["conv"]["w"])
     e = conv3d(x, wb, bias_to_s2d(p["conv"]["b"]), padding=1)
     e = leaky_relu(instance_norm_s2d(e))
-    e = se_gate_s2d(e, p["se0"]["w"][0, 0, 0])
+    for g in range(n_gates):
+        e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
     return e, side
 
 
-def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True):
+def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True, n_gates: int = 1):
     """SSEConv with dilation 2 via polyphase decomposition (exact, no
     FLOP overhead): 8 sub-grids convolved dil-1 as batch entries."""
     from ..ops.s2d import (
@@ -336,7 +337,8 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True):
     e = conv3d(xp, p["conv"]["w"], p["conv"]["b"], padding=1)
     e = from_polyphase(e)
     e = leaky_relu(instance_norm_s2d(e))
-    e = se_gate_s2d(e, p["se0"]["w"][0, 0, 0])
+    for g in range(n_gates):
+        e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
@@ -350,7 +352,7 @@ def _cat_block_s2d(p: Params, x):
     return leaky_relu(instance_norm_s2d(y))
 
 
-def _sse_block_s2d_phased(p: Params, x, want_side: bool = True):
+def _sse_block_s2d_phased(p: Params, x, want_side: bool = True, n_gates: int = 1):
     """SSEConv (one SE gate) on an s2d tensor via the per-output-phase
     conv decomposition — used for the full-res decoder where dense
     block-lifting would cost 8x FLOPs."""
@@ -363,7 +365,8 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True):
 
     e = conv3_s2d_phased(x, p["conv"]["w"], p["conv"]["b"])
     e = leaky_relu(instance_norm_s2d(e))
-    e = se_gate_s2d(e, p["se0"]["w"][0, 0, 0])
+    for g in range(n_gates):
+        e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
@@ -426,21 +429,32 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool):
         bias = bias + jnp.einsum("e,be->b", b_side, whe)
         if not train:
             w1 = (w_side @ whe[0]).astype(feat.dtype)  # (Ci,)
-            if kind == "s2d":
+            if kind in ("s2d", "s2d_up"):
                 b_, d_, h_, w_, c8 = feat.shape
                 fr = feat.reshape(b_, d_, h_, w_, 8, c8 // 8)
                 contrib = jnp.einsum("bdhwpc,c->bdhwp", fr, w1).astype(jnp.float32)
-                total = contrib if total is None else total + contrib
+                if kind == "s2d":
+                    total = contrib if total is None else total + contrib
+                else:
+                    # s2d at a coarser grid: unfold to that grid's full
+                    # resolution, then the per-scale upsample handles it
+                    c6 = depth_to_space(contrib)
+                    per_scale[sc] = c6 if sc not in per_scale else per_scale[sc] + c6
             else:
                 contrib = jnp.einsum("bdhwc,c->bdhw", feat, w1)[..., None]
                 per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
             continue
         w_eff = jnp.einsum("ce,be->bc", w_side, whe).astype(feat.dtype)  # (B, Ci)
-        if kind == "s2d":
+        if kind in ("s2d", "s2d_up"):
             b_, d_, h_, w_, c8 = feat.shape
             fr = feat.reshape(b_, d_, h_, w_, 8, c8 // 8)
             contrib = jnp.einsum("bdhwpc,bc->bdhwp", fr, w_eff).astype(jnp.float32)
-            total = contrib if total is None else total + contrib
+            if kind == "s2d":
+                total = contrib if total is None else total + contrib
+            else:
+                c6 = depth_to_space(contrib)
+                per_scale[sc] = c6 if sc not in per_scale else per_scale[sc] + c6
+            continue
         else:
             contrib = jnp.einsum("bdhwc,bc->bdhw", feat, w_eff)[..., None]
             per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
@@ -524,15 +538,17 @@ def apply_fast(
     e2 = max_pool_s2d(e1)  # exits s2d: (B, n, n, n, 32)
     x2 = max_pool_s2d(xs)
 
-    # ---- encoder level 2 (standard layout, 64^3) ----
-    e2, _ = _sse_block(p["ec4"], e2, dilation=1, up=1, n_gates=2, want_side=False)
-    e3, _ = _sse_block(p["ec5"], e2, dilation=2, up=1, n_gates=2, want_side=False)
-    e3_1, _ = _sse_block(p["ec6"], e3, dilation=2, up=1, n_gates=2, want_side=False)
-    f3, f4, f5 = e2, e3, e3_1
-    e3 = _cat_block(p["ec63"], cat(e3_1, e2, e3))
-    e3 = e3 + _cat_block(p["x63"], x2)
-    e4 = max_pool3d(e3)
-    x3 = max_pool3d(x2)
+    # ---- encoder level 2 (s2d at 32^3 blocks: 256-512 channels) ----
+    e2s = space_to_depth(e2)
+    x2s = space_to_depth(x2)
+    e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2)
+    e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2)
+    e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2)
+    f3, f4, f5 = e2s, e3s, e3_1s
+    e3s = _cat_block_s2d(p["ec63"], _s2d_cat(e3_1s, e2s, e3s))
+    e3s = e3s + _cat_block_s2d(p["x63"], x2s)
+    e4 = max_pool_s2d(e3s)
+    x3 = max_pool_s2d(x2s)
 
     # ---- encoder level 3 (1/4) ----
     e4, _ = _sse_block(p["ec7"], e4, dilation=1, up=1, n_gates=2, want_side=False)
@@ -557,15 +573,15 @@ def apply_fast(
     f12, f13 = d0, d0_1
     d0 = _cat_block(p["dc22"], cat(d0_1, d0))
 
-    # ---- decoder level 2 (1/2) ----
-    d1 = upsample_trilinear(d0, 2)
-    d1, _ = _sse_block(p["dc3"], cat(d1, e3), dilation=1, up=1, n_gates=2, want_side=False)
-    d1_1, _ = _sse_block(p["dc4"], d1, dilation=1, up=1, n_gates=2, want_side=False)
-    f14, f15 = d1, d1_1
-    d1 = _cat_block(p["dc42"], cat(d1_1, d1))
+    # ---- decoder level 2 (s2d at 32^3 blocks) ----
+    d1s = upsample_to_s2d(d0, 2)  # (32^3 blocks of 64^3, 8*64)
+    d1s, _ = _sse_block_s2d_phased(p["dc3"], _s2d_cat(d1s, e3s), want_side=False, n_gates=2)
+    d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False, n_gates=2)
+    f14, f15 = d1s, d1_1s
+    d1s = _cat_block_s2d(p["dc42"], _s2d_cat(d1_1s, d1s))
 
     # ---- decoder level 1 (full res, all in s2d) ----
-    up_s = upsample_to_s2d(d1, 2)  # (n^3, 8*32)
+    up_s = upsample_to_s2d(depth_to_space(d1s), 2)  # (n^3, 8*32)
     d2, _ = _sse_block_s2d_phased(p["dc5"], _s2d_cat(up_s, e1), want_side=False)
     d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False)
     f16, f17 = d2, d2_1
@@ -581,13 +597,13 @@ def apply_fast(
 
     metas_en = [
         (f0, p["ec1"], "s2d", 1), (f1, p["ec2"], "s2d", 1), (f2, p["ec3"], "s2d", 1),
-        (f3, p["ec4"], "std", 2), (f4, p["ec5"], "std", 2), (f5, p["ec6"], "std", 2),
+        (f3, p["ec4"], "s2d_up", 2), (f4, p["ec5"], "s2d_up", 2), (f5, p["ec6"], "s2d_up", 2),
         (f6, p["ec7"], "std", 4), (f7, p["ec8"], "std", 4), (f8, p["ec9"], "std", 4),
         (f9, p["ec10"], "std", 8), (f10, p["ec11"], "std", 8), (f11, p["ec12"], "std", 8),
     ]
     metas_de = [
         (f12, p["dc1"], "std", 4), (f13, p["dc2"], "std", 4),
-        (f14, p["dc3"], "std", 2), (f15, p["dc4"], "std", 2),
+        (f14, p["dc3"], "s2d_up", 2), (f15, p["dc4"], "s2d_up", 2),
         (f16, p["dc5"], "s2d", 1), (f17, p["dc6"], "s2d", 1),
     ]
     pred_en = _composed_head(metas_en, p["head_en"], k_en, cfg.drop_threshold, train)
