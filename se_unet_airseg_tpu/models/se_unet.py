@@ -324,7 +324,10 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1):
 
 def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True, n_gates: int = 1):
     """SSEConv with dilation 2 via polyphase decomposition (exact, no
-    FLOP overhead): 8 sub-grids convolved dil-1 as batch entries."""
+    FLOP overhead): 8 sub-grids convolved dil-1 as batch entries.
+    (A feature_group_count=8 grouped-conv formulation is equivalent and
+    transpose-free, but fails to compile at the engine's batch=8
+    operating point on v5e — kept as a round-2 experiment.)"""
     from ..ops.s2d import (
         from_polyphase,
         grouped_pointwise,

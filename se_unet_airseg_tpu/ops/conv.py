@@ -25,6 +25,7 @@ def conv3d(
     stride: int = 1,
     padding: int | str = 0,
     dilation: int = 1,
+    groups: int = 1,
 ) -> jnp.ndarray:
     """Conv over NDHWC `x` with DHWIO `kernel`.
 
@@ -49,6 +50,7 @@ def conv3d(
         padding=pad,
         rhs_dilation=(dilation, dilation, dilation),
         dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
         precision=lax.Precision.HIGHEST,
     )
     if bias is not None:
