@@ -17,3 +17,9 @@ __all__ = [
     "edt_with_indices",
     "native_available",
 ]
+
+# Higher-level layers (import submodules lazily to keep the scipy-only
+# fallback path light): post.topology (the "Ours" tree parser),
+# post.atm22 (the challenge parser), post.regrade (anatomical
+# labeling), post.mesh (marching tetrahedra + STL), post.render
+# (centerline/parse-map figures).
