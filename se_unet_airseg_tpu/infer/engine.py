@@ -154,11 +154,15 @@ def run_test(
     outdir = os.path.join(result_savepath, stage_name)
     os.makedirs(outdir, exist_ok=True)
     metrics = []
+    # maximum_3d = largest CC with 2nd-largest mid-slice fallback +
+    # fill-holes (reference util.py:58-75, used at test.py:165-176)
+    from ..pipeline.preprocess import largest_cc_midslice_fallback as maximum_3d
+
     for i, name in enumerate(names):
         img, label = _load_case(data_root, name)
         pred = _binarize(runner, img.array, dti, 0.5, 0.35, rng=jax.random.fold_in(rng, i))
         pred = border_suppress(pred)
-        pred = largest_component(pred)
+        pred = maximum_3d(pred)
         write_nifti(
             os.path.join(outdir, name + ".nii.gz"),
             pred.astype(np.int8), img.spacing, img.origin, img.direction,
@@ -215,7 +219,10 @@ def network_prediction(
     in, `<case>_pred_mask.nii.gz` out. Runs in EVAL mode — the one
     inference consumer the reference runs under model.eval()
     (prediction.py:64)."""
-    from ..pipeline.preprocess import preprocess_ct_volume
+    from ..pipeline.preprocess import (
+        largest_cc_midslice_fallback as maximum_3d,
+        preprocess_ct_volume,
+    )
 
     os.makedirs(save_dir, exist_ok=True)
     name = preprocess_ct_volume(ct_path, save_dir, mode="prediction")
@@ -227,7 +234,8 @@ def network_prediction(
     )
     pred = dti_fn(trits_to_scores(trits, h_thresh, l_thresh), h_thresh, l_thresh)
     pred = border_suppress(pred)
-    pred = largest_component(pred)
+    # maximum_3d, not bare largest-CC (reference prediction.py:117)
+    pred = maximum_3d(pred)
     out_path = os.path.join(save_dir, name + "_pred_mask.nii.gz")
     write_nifti(out_path, pred, img.spacing, img.origin, img.direction)
 

@@ -35,9 +35,17 @@ from ..models.se_unet import SEUNetConfig, apply as se_unet_apply, apply_fast
 from ..ops import hu_dual_window
 
 
-def _pad_to_multiple(vol: np.ndarray, multiple: int, cube: int, fill: float):
+def _pad_to_cube(vol: np.ndarray, cube: int, fill: float):
+    """Pad only volumes smaller than one cube (dynamic_slice legality).
+
+    Tile positions are computed on the (possibly padded) extents with
+    boundary windows clamped INWARD into real data — the reference's
+    tiling semantics (reference data.py:731-773, prediction.py:83-101).
+    Border tiles therefore see real anatomy, never synthetic-air fill
+    (round-1 padded to a step multiple, which deviated at volume
+    edges)."""
     shape = np.asarray(vol.shape)
-    target = np.maximum(np.ceil(shape / multiple).astype(int) * multiple, cube)
+    target = np.maximum(shape, cube)
     pads = [(0, int(t - s)) for s, t in zip(shape, target)]
     if all(p == (0, 0) for p in pads):
         return vol, shape
@@ -164,8 +172,8 @@ class SlidingWindowRunner:
         # the f32 conversion happen on device
         keep_dtype = hu_volume.dtype if hu_volume.dtype == np.int16 else np.float32
         fill = -1024.0 - hu_shift
-        vol_np, orig_shape = _pad_to_multiple(
-            hu_volume.astype(keep_dtype), self.step, self.cube, fill=fill
+        vol_np, orig_shape = _pad_to_cube(
+            hu_volume.astype(keep_dtype), self.cube, fill=fill
         )
         pos = tile_positions(vol_np.shape, self.cube, self.step)
         pos = pad_positions_to_batch(pos, self.batch)

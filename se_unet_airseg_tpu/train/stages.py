@@ -33,7 +33,12 @@ from ..models.se_unet import SEUNetConfig, init_params
 from .checkpoint import load_params, load_state, save_params, save_state
 from .online_cache import OnlineCache
 from .schedule import CurriculumScheduler, Stage3Scheduler
-from .step import create_train_state, make_optimizer, make_train_step
+from .step import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
 
 
 @dataclasses.dataclass
@@ -101,13 +106,10 @@ def _save_resume_point(cfg: StageConfig, state, ep: int, meta: dict):
         os.remove(old)
 
 
-def _init_state(cfg: StageConfig, stage: int, steps_per_epoch: int):
+def _init_state(cfg: StageConfig, stage: int):
     import jax
 
-    opt, _ = make_optimizer(
-        base_lr=cfg.lr, milestones=cfg.milestones,
-        steps_per_epoch=steps_per_epoch,
-    )
+    opt, lr_fn = make_optimizer(base_lr=cfg.lr, milestones=cfg.milestones)
     if cfg.start_params is None:
         params = init_params(jax.random.key(cfg.seed), cfg.model_cfg)
     elif isinstance(cfg.start_params, str):
@@ -116,7 +118,7 @@ def _init_state(cfg: StageConfig, stage: int, steps_per_epoch: int):
         params = cfg.start_params
     state = create_train_state(params, opt)
     step_fn = make_train_step(opt, cfg.model_cfg, stage=stage, mesh=cfg.mesh)
-    return state, step_fn
+    return state, step_fn, lr_fn
 
 
 def _epoch_pass(state, step_fn, batches, rng, log_every=10, cache=None,
@@ -174,16 +176,21 @@ def train_stage1(cfg: StageConfig):
         cfg.file_path, cfg.data_root, cfg.file_root,
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
     )
-    state, step_fn = _init_state(cfg, 1, len(dataset))
+    state, step_fn, lr_fn = _init_state(cfg, 1)
     state, start_ep, _ = _auto_resume(cfg, state)
     rng = jax.random.key(cfg.seed)
     for ep in range(start_ep, cfg.epochs):
+        # MultiStepLR stepped once per epoch after training (reference
+        # train.py:615): the count at the START of epoch `ep` is `ep`
+        state = set_learning_rate(state, lr_fn(ep))
         state, rng, _ = _epoch_pass(
             state, step_fn, Prefetcher(dataset), rng,
             epoch=ep, n_volumes=len(dataset), writer=writer,
         )
         if ep == cfg.epochs - 1:
-            _validate(cfg, state.params, ep, stage=1, dti=False)
+            # reference __main__ runs stage 1 with DTI=1 (train.py:872)
+            # so the final-epoch validation binarizes via hysteresis
+            _validate(cfg, state.params, ep, stage=1, dti=True)
         save_params(state.params, cfg.model_savepath, ep)
         _save_resume_point(cfg, state, ep, {})
     return state
@@ -200,8 +207,7 @@ def train_stage2(cfg: StageConfig):
         cfg.file_path, cfg.data_root, cfg.file_root, cfg.pred_path,
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
     )
-    # double lr_scheduler.step() per epoch == halved epoch length
-    state, step_fn = _init_state(cfg, 2, max(len(dataset) // 2, 1))
+    state, step_fn, lr_fn = _init_state(cfg, 2)
     scheduler = CurriculumScheduler()
     cache = OnlineCache(cfg.online_savepath)
     rng = jax.random.key(cfg.seed)
@@ -214,12 +220,19 @@ def train_stage2(cfg: StageConfig):
     for ep in range(start_ep, cfg.epochs):
         cache.reset()
         dataset.hard_ratio = scheduler.hard_ratio
+        # lr_scheduler.step() fires TWICE per epoch in stages 2/3
+        # (reference train.py:466+493): the main pass of epoch `ep`
+        # runs at scheduler count 2*ep, the replay pass at 2*ep+1
+        state = set_learning_rate(state, lr_fn(2 * ep))
         state, rng, _ = _epoch_pass(
             state, step_fn, Prefetcher(dataset), rng,
             cache=cache, cache_limit=cache_limit, epoch=ep,
             n_volumes=len(dataset), writer=writer,
         )
-        # online hard-mining second pass (reference train.py:469-491)
+        # online hard-mining second pass: single-crop steps, exactly
+        # like the reference's DataLoader(batch_size=1) over per-crop
+        # cache items (reference train.py:469-491, data.py:586-607)
+        state = set_learning_rate(state, lr_fn(2 * ep + 1))
         replay = OnlineCrops(cfg.online_savepath, rate=1.0)
         for item in replay:
             item.pop("name", None)
@@ -252,7 +265,7 @@ def train_stage3(cfg: StageConfig):
         cfg.br_skel_path, cfg.br_weight_path,
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
     )
-    state, step_fn = _init_state(cfg, 3, max(len(dataset) // 2, 1))
+    state, step_fn, lr_fn = _init_state(cfg, 3)
     scheduler = Stage3Scheduler()
     cache = OnlineCache(cfg.online_savepath, with_skel=True)
     rng = jax.random.key(cfg.seed)
@@ -267,11 +280,14 @@ def train_stage3(cfg: StageConfig):
         cache.reset()
         dataset.hard_ratio = scheduler.hard_ratio
         dataset.break_ratio = scheduler.break_ratio
+        # double scheduler.step() per epoch (reference train.py:273+305)
+        state = set_learning_rate(state, lr_fn(2 * ep))
         state, rng, _ = _epoch_pass(
             state, step_fn, Prefetcher(dataset), rng,
             cache=cache, cache_limit=cache_limit, epoch=ep,
             n_volumes=len(dataset), writer=writer,
         )
+        state = set_learning_rate(state, lr_fn(2 * ep + 1))
         replay = OnlineCrops(cfg.online_savepath, rate=1.0, with_skel=True)
         for item in replay:
             item.pop("name", None)

@@ -40,29 +40,66 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # int32 scalar
 
 
+def multistep_lr(
+    base_lr: float,
+    milestones: tuple[int, ...],
+    gamma: float,
+    sched_steps: int,
+) -> float:
+    """torch.optim.lr_scheduler.MultiStepLR semantics: the LR after
+    `sched_steps` calls to scheduler.step(). The reference drives this
+    per EPOCH — once in stage 1 (train.py:615), twice per epoch in
+    stages 2/3 (train.py:466+493, 273+305) — never per optimizer step,
+    so online-replay steps must not advance it."""
+    n = sum(1 for m in milestones if m <= sched_steps)
+    return base_lr * gamma**n
+
+
 def make_optimizer(
     base_lr: float = 1e-4,
     milestones: tuple[int, ...] = (60, 90),
     gamma: float = 0.1,
     weight_decay: float = 1e-2,
-    steps_per_epoch: int = 1,
 ):
-    """AdamW + MultiStep decay (reference train.py:567-572).
+    """AdamW with an externally-driven MultiStep LR (reference
+    train.py:567-572 + 189-191).
 
-    `milestones` are epochs; the schedule is driven by the optimizer
-    step count, so callers pass steps_per_epoch. (Stages 2/3 call
-    `lr_scheduler.step()` twice per epoch — reference train.py:466,493
-    — reproduce by passing the doubled effective epoch length.)
+    The LR is a runtime hyperparameter (optax.inject_hyperparams), NOT
+    an optimizer-step-count schedule: the reference's MultiStepLR is
+    epoch-indexed and immune to how many optimizer steps an epoch
+    contains (the online hard-mining replay adds ~2.4x len(dataset)
+    extra single-crop steps per epoch, reference train.py:469-491).
+    Stage drivers call `set_learning_rate(state,
+    multistep_lr(base, milestones, gamma, sched_steps))` at the
+    reference's scheduler.step() sites.
+
+    Returns (optimizer, lr_fn) where lr_fn(sched_steps) -> lr.
     """
-    boundaries = {m * steps_per_epoch: gamma for m in milestones}
-    schedule = optax.piecewise_constant_schedule(base_lr, boundaries)
-    return optax.adamw(
-        learning_rate=schedule,
+    opt = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=base_lr,
         b1=0.9,
         b2=0.999,
         eps=1e-8,
         weight_decay=weight_decay,
-    ), schedule
+    )
+
+    def lr_fn(sched_steps: int) -> float:
+        return multistep_lr(base_lr, milestones, gamma, sched_steps)
+
+    return opt, lr_fn
+
+
+def set_learning_rate(state: "TrainState", lr: float) -> "TrainState":
+    """Replace the injected learning_rate leaf in the optimizer state
+    (the TPU analog of torch's scheduler mutating param_groups)."""
+    opt_state = state.opt_state
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state._replace(opt_state=opt_state._replace(hyperparams=hp))
+
+
+def current_learning_rate(state: "TrainState") -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
 
 
 def create_train_state(params, optimizer) -> TrainState:
@@ -150,16 +187,24 @@ def make_train_step(
     rep = replicated(mesh)
     axes = mesh.axis_names  # ("data", "space")
 
-    def crop_sharding(ndim: int) -> NamedSharding:
-        # (B, D, H, W[, C]): batch over data, optionally depth over space
-        spec = [axes[0]] + [None] * (ndim - 1)
+    data_size = mesh.shape[axes[0]]
+
+    def crop_sharding(ndim: int, batch_dim: int) -> NamedSharding:
+        # (B, D, H, W[, C]): batch over data, optionally depth over
+        # space. Batches not divisible by the data axis (the online-HM
+        # replay feeds single crops, reference train.py:469-491 with
+        # DataLoader batch_size=1) are replicated instead — sharding
+        # would fail outright (ADVICE r1).
+        spec = [axes[0] if batch_dim % data_size == 0 else None]
+        spec += [None] * (ndim - 1)
         if shard_space:
             spec[1] = axes[1]
         return NamedSharding(mesh, P(*spec))
 
     def place(batch):
         return {
-            k: jax.device_put(v, crop_sharding(v.ndim)) for k, v in batch.items()
+            k: jax.device_put(v, crop_sharding(v.ndim, v.shape[0]))
+            for k, v in batch.items()
         }
 
     fn = jax.jit(step_fn, out_shardings=(rep, rep), donate_argnums=(0,))

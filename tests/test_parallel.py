@@ -29,7 +29,7 @@ def _batch(b, s, rng):
 def test_sharded_train_step_matches_single_device():
     cfg = SEUNetConfig()
     params = init_params(jax.random.key(0), cfg)
-    opt, _ = make_optimizer(steps_per_epoch=1)
+    opt, _ = make_optimizer()
     batch = _batch(8, 16, np.random.default_rng(0))
     rng = jax.random.key(42)
 

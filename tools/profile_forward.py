@@ -1,0 +1,182 @@
+"""Per-op TPU profile of the inference forward (and optionally the
+engine step): traces with jax.profiler, parses the xplane proto, and
+aggregates device time by op category (convolution / fusion / copy /
+reduce / ...). This is the measurement tool behind the ROADMAP perf
+items — run on the real chip.
+
+Usage:
+  python tools/profile_forward.py [forward|engine|step] [--top N]
+"""
+
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _trace(fn, logdir, iters=3):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+    return wall
+
+
+def parse_xplane(logdir, iters=3, top=40):
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    xs = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    per_op = collections.Counter()  # name -> total ps
+    per_cat = collections.Counter()
+    for plane in xs.planes:
+        if "TPU" not in plane.name or "device" not in plane.name.lower():
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name:
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                per_op[name] += ev.duration_ps
+    for name, ps in per_op.items():
+        cat = categorize(name)
+        per_cat[cat] += ps
+
+    total = sum(per_op.values())
+    print(f"\n== total device time: {total/1e12/iters*1e3:.2f} ms/iter "
+          f"({iters} iters traced) ==")
+    print("\n-- by category --")
+    for cat, ps in per_cat.most_common():
+        print(f"  {cat:28s} {ps/1e12/iters*1e3:8.2f} ms  {100*ps/total:5.1f}%")
+    print(f"\n-- top {top} ops --")
+    for name, ps in per_op.most_common(top):
+        print(f"  {ps/1e12/iters*1e3:8.3f} ms  {100*ps/total:5.1f}%  {name[:110]}")
+    return per_op, per_cat, total
+
+
+def categorize(name: str) -> str:
+    n = name.lower()
+    if "conv" in n and "fusion" not in n:
+        return "convolution"
+    if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
+        return "copy/layout"
+    if "transpose" in n and "fusion" not in n:
+        return "transpose"
+    if "all-reduce" in n or "all-gather" in n or "collective" in n:
+        return "collective"
+    if "dynamic-update-slice" in n or "dynamic-slice" in n:
+        return "dynamic-slice"
+    if "reduce" in n:
+        return "reduce"
+    if "fusion" in n:
+        m = re.match(r"%?(loop_|input_|output_)?fusion", n)
+        return "fusion(elementwise/mixed)" if m else "fusion(other)"
+    if "convert" in n:
+        return "convert"
+    if "infeed" in n or "outfeed" in n:
+        return "infeed/outfeed"
+    return "other"
+
+
+def main():
+    what = sys.argv[1] if len(sys.argv) > 1 else "forward"
+    top = 40
+    if "--top" in sys.argv:
+        top = int(sys.argv[sys.argv.index("--top") + 1])
+
+    import jax
+    import jax.numpy as jnp
+
+    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+    from se_unet_airseg_tpu.models.se_unet import apply_fast
+
+    cfg = SEUNetConfig(compute_dtype=jnp.bfloat16)
+    params = init_params(jax.random.key(0), cfg)
+    logdir = tempfile.mkdtemp(prefix="jaxprof_")
+    iters = 3
+
+    if what == "forward":
+        B = int(os.environ.get("PROF_B", "8"))
+        S = int(os.environ.get("PROF_S", "128"))
+        x = jnp.asarray(
+            np.random.default_rng(0).random((B, S, S, S, 2), np.float32)
+        )
+
+        fwd = jax.jit(lambda p, x: apply_fast(p, x, cfg=cfg, train=False))
+
+        def run():
+            return fwd(params, x)
+
+        wall = _trace(run, logdir, iters)
+        print(f"forward B={B} {S}^3: {wall*1e3:.1f} ms wall "
+              f"({B/wall:.1f} tiles/s)")
+    elif what == "engine":
+        from se_unet_airseg_tpu.infer import SlidingWindowRunner
+
+        runner = SlidingWindowRunner(params, cfg, batch=8)
+        vol = (np.random.default_rng(0).random((320, 256, 320)) * 1400.0
+               + 24.0).astype(np.int16)
+
+        def run():
+            return runner.predict_trits(vol, h_thresh=0.5, l_thresh=0.35,
+                                        hu_shift=-1024.0)
+
+        wall = _trace(run, logdir, iters)
+        from se_unet_airseg_tpu.data import pad_positions_to_batch, tile_positions
+        n = len(pad_positions_to_batch(tile_positions(vol.shape), 8))
+        print(f"engine {vol.shape}: {wall:.2f} s wall, {n} tiles, "
+              f"{n/wall:.2f} tiles/s")
+    elif what == "step":
+        from se_unet_airseg_tpu.train.step import (
+            create_train_state, make_optimizer, make_train_step)
+
+        cfg = SEUNetConfig(compute_dtype=jnp.bfloat16, remat=True)
+        params = init_params(jax.random.key(0), cfg)
+        opt, _ = make_optimizer()
+        state = create_train_state(params, opt)
+        step = make_train_step(opt, cfg, stage=2)
+        B = int(os.environ.get("PROF_B", "2"))
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.random((B, 128, 128, 128, 2), np.float32),
+            "label": (rng.random((B, 128, 128, 128)) > 0.7).astype(np.float32),
+            "weight": rng.random((B, 128, 128, 128)).astype(np.float32),
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        key = jax.random.key(1)
+
+        holder = {"state": state}
+
+        def run():
+            holder["state"], aux = step(holder["state"], batch, key)
+            return aux["loss"]
+
+        wall = _trace(run, logdir, iters)
+        print(f"train step B={B}: {wall*1e3:.0f} ms")
+    else:
+        raise SystemExit(f"unknown target {what}")
+
+    parse_xplane(logdir, iters=iters, top=top)
+
+
+if __name__ == "__main__":
+    main()
