@@ -264,8 +264,12 @@ static inline int count_neighbors26(const uint8_t nb[27]) {
 
 void skeletonize3d(uint8_t* img, int64_t d, int64_t h, int64_t w) {
   const int64_t hw = h * w;
-  // 6 face directions in the U, D, N, S, E, W schedule (z-, z+, y-, y+, x-, x+)
-  static const int dirs[6][3] = {{-1,0,0},{1,0,0},{0,-1,0},{0,1,0},{0,0,-1},{0,0,1}};
+  // 6 face directions in Lee's N, S, E, W, U, B schedule on (z, y, x)
+  // volumes: y-, y+, x+, x-, z+, z- — the same sub-iteration order the
+  // published algorithm (and its skimage port) uses. The order matters:
+  // it decides which of two competing simple points erodes first, and
+  // therefore the final branch geometry (CASE073 parity).
+  static const int dirs[6][3] = {{0,-1,0},{0,1,0},{0,0,1},{0,0,-1},{1,0,0},{-1,0,0}};
   std::vector<int64_t> active;
   active.reserve(1 << 20);
   for (int64_t i = 0, n = d * hw; i < n; i++)

@@ -12,12 +12,12 @@ directory. Per case it writes, into `--save_path` ("Ours" parser):
                       Number of branches %d" (reference format,
                       tree_parsing.py:70-76)
 
-and into `--save_ATM22_path` the ATM22 parse map + _time.txt.
-
-STL/PNG/GIF renders (pyvista in the reference) are not emitted —
-there is no VTK in this environment; the mesh export hook is
-`post.topology.TopologyTree.resize` + the parse maps.
-"""
+and into `--save_ATM22_path` the ATM22 parse map, .stl surface,
+.png centerline render, rotating .gif + _model.png parse renders, and
+_time.txt (reference tree_parsing.py:80-210). The reference renders
+with pyvista/VTK; there is no VTK in this environment, so surfaces
+come from the native marching-tetrahedra STL writer and renders from
+matplotlib 3-D (same artifact set, headless)."""
 
 from __future__ import annotations
 
@@ -101,15 +101,66 @@ def ours_parse_case(pred: np.ndarray, spacing, merge_t: int, save_dir: str,
     return tree
 
 
-def atm22_parse_case(pred: np.ndarray, save_dir: str, case: str):
+def atm22_parse_case(
+    pred: np.ndarray, save_dir: str, case: str, spacing=(1.0, 1.0, 1.0)
+):
+    """ATM22 driver with the reference's full artifact set
+    (tree_parsing.py:80-210): .stl surface, .png centerline render,
+    rotating .gif + _model.png parse renders, _parse_map.nii.gz,
+    _time.txt with centerline/parse timing + branch count."""
+    from ..post.atm22 import atm22_centerline, atm22_refine
+
     stem = case.split(".nii.gz")[0]
+    sp = np.asarray(spacing[:3], np.float32)
+
+    # centerline stage: CC -> STL -> skeleton -> branch cut (the STL
+    # export sits inside the timed window like the reference's recons)
     t0 = time.time()
-    parse, num = atm22_parse(pred)
+    label, sl, crop, parse_skel, cd, num0 = atm22_centerline(pred)
+    try:
+        from ..post.mesh import export_mask_stl
+
+        export_mask_stl(
+            os.path.join(save_dir, stem + ".stl"), label, spacing=sp
+        )
+    except Exception as e:
+        print(f"stl skipped: {type(e).__name__}: {e}")
+    centerline_time = time.time() - t0
+    print("Centerline segment time %d seconds" % centerline_time)
+
+    # branch centerline render (reference's pl.add_lines loop)
+    try:
+        from ..post.render import render_centerlines
+
+        lo = np.array([s.start for s in sl], np.float32)
+        branches = [
+            (np.argwhere(cd == i) + lo) * sp for i in range(1, num0 + 1)
+        ]
+        render_centerlines(
+            branches, os.path.join(save_dir, stem + ".png"),
+            title=f"{stem}: {num0} centerline segments",
+        )
+    except Exception as e:
+        print(f"render skipped: {type(e).__name__}: {e}")
+
+    # parse stage
+    t0 = time.time()
+    parse, num = atm22_refine(label.shape, sl, crop, parse_skel, cd, num0)
     dt = time.time() - t0
     write_nifti(os.path.join(save_dir, stem + "_parse_map.nii.gz"), parse)
+    try:
+        from ..post.render import render_parse_map
+
+        render_parse_map(
+            parse, os.path.join(save_dir, stem + "_model.png"),
+            gif_path=os.path.join(save_dir, stem + ".gif"),
+        )
+    except Exception as e:
+        print(f"render skipped: {type(e).__name__}: {e}")
     print("Airway tree parse time %d seconds" % dt)
     print("Number of branches %d " % num)
     with open(os.path.join(save_dir, stem + "_time.txt"), "w") as f:
+        f.write("Centerline segment time %d seconds\n" % centerline_time)
         f.write("Airway tree parse time %d seconds\n" % dt)
         f.write("Number of branches %d\n" % num)
     return parse, num
@@ -147,7 +198,7 @@ def main(argv=None):
             ours_parse_case(pred, spacing, args.merge_t, args.save_path, case)
         if args.save_ATM22_path is not None:
             os.makedirs(args.save_ATM22_path, exist_ok=True)
-            atm22_parse_case(pred, args.save_ATM22_path, case)
+            atm22_parse_case(pred, args.save_ATM22_path, case, spacing)
 
 
 if __name__ == "__main__":

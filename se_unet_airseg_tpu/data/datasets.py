@@ -22,11 +22,17 @@ import queue
 import threading
 
 import numpy as np
-from scipy import ndimage
 
 from ..io import read_nifti
 from .augment import augment_crops
-from .samplers import centered_random_crop, hard_sample, location_crop, random_crop
+from .samplers import (
+    centered_random_crop,
+    hard_sample,
+    location_crop,
+    point_crop,
+    random_crop,
+    small_airway_sampler,
+)
 from .splits import load_json_file
 
 
@@ -40,20 +46,36 @@ def _window_pair(hu: np.ndarray):
 
 
 def _load_volume(data_root: str, name: str):
+    """CT in raw HU (float32) + binary label (uint8). Windowing and
+    float casts happen per CROP, not per volume — the host does
+    cube^3-sized work per sample instead of full-volume passes."""
     img = read_nifti(os.path.join(data_root, "data", name + "data_cut.nii.gz"))
     hu = img.array.astype(np.float32) - 1024.0
     label = read_nifti(
         os.path.join(data_root, "mask", name + "mask_cut.nii.gz")
     ).array
-    label = (label > 0).astype(np.float32)
+    label = (label > 0).astype(np.uint8)
     return hu, label
 
 
-def _powered_weight(lib_weight, label, rng):
+def _powered_weight(lib_weight, label, expo):
     """weight ** (U[0,1)+2) * label + (1-label) (reference data.py:386,
     568, 701) — the random power is drawn per VOLUME per epoch."""
     w = lib_weight.astype(np.float32)
-    return w ** (rng.random() + 2.0) * label + (1.0 - label)
+    lab = label.astype(np.float32)
+    return w ** expo * lab + (1.0 - lab)
+
+
+def _finalize_crop(c: dict, expo: float) -> dict:
+    """Per-crop deferred work: dual windowing of the HU crop and the
+    random-power LIB weight (identical values to the reference's
+    full-volume formulation — windowing and pow are pointwise and
+    commute with crop/flip/rotate)."""
+    img, img2 = _window_pair(c.pop("hu"))
+    c["img"], c["img2"] = img, img2
+    if "lib" in c:
+        c["weight"] = _powered_weight(c.pop("lib"), c["label"], expo)
+    return c
 
 
 def _to_batch(crops: list[dict]) -> dict:
@@ -89,16 +111,15 @@ class Stage1Crops:
     def sample_volume(self, name: str) -> dict:
         hu, label = _load_volume(self.data_root, name)
         lib = np.load(os.path.join(self.file_root, "LIB_weight", name + ".npy"))
-        weight = _powered_weight(lib, label, self.rng)
-        img, img2 = _window_pair(hu)
-        vols = {"img": img, "img2": img2, "label": label, "weight": weight}
+        expo = self.rng.random() + 2.0
+        vols = {"hu": hu, "label": label, "lib": lib}
         crops = []
         for _ in range(self.batch_size):
             c = centered_random_crop(vols, self.cube, self.rng)
             if self.aug:
                 vals = augment_crops(list(c.values()), self.rng)
                 c = dict(zip(c.keys(), vals))
-            crops.append(c)
+            crops.append(_finalize_crop(c, expo))
         batch = _to_batch(crops)
         batch["name"] = name
         return batch
@@ -133,24 +154,22 @@ class Stage2Crops:
         skel = read_nifti(
             os.path.join(self.file_root, "skeleton", name + "mask_cut.nii.gz")
         ).array
-        skel = (skel > 0).astype(np.float32)
-        return pred.astype(np.float32), skel
+        return (pred > 0).astype(np.uint8), (skel > 0).astype(np.uint8)
 
     def sample_volume(self, name: str) -> dict:
         hu, label = _load_volume(self.data_root, name)
         lib = np.load(os.path.join(self.file_root, "LIB_weight", name + ".npy"))
-        weight = _powered_weight(lib, label, self.rng)
+        expo = self.rng.random() + 2.0
         pred1, skel = self._load_priors(name)
 
-        dis = ndimage.distance_transform_edt(label)
-        # NOTE bug-compatible with reference data.py:305: `<2` keeps
-        # every zero of dis*skel too, so the "small airway" set is the
-        # complement of thick-skeleton voxels, not just thin ones.
-        loc_small = np.where((dis * skel) < 2)
-        loc_skeleton = np.where(skel * (1 - pred1))
+        # "small airway" set {EDT(label)·skel < 2} sampled lazily
+        # (bug-compatible with reference data.py:305 — see
+        # samplers.small_airway_sampler); skeleton-miss set is sparse,
+        # so materialize it.
+        loc_small = small_airway_sampler(label, skel, self.rng)
+        loc_skeleton = np.where((skel != 0) & (pred1 == 0))
 
-        img, img2 = _window_pair(hu)
-        vols = {"img": img, "img2": img2, "label": label, "weight": weight}
+        vols = {"hu": hu, "label": label, "lib": lib}
         crops = []
         for _ in range(self.batch_size):
             if self.rng.random() < self.hard_ratio:
@@ -160,7 +179,7 @@ class Stage2Crops:
             if self.aug:
                 vals = augment_crops(list(c.values()), self.rng)
                 c = dict(zip(c.keys(), vals))
-            crops.append(c)
+            crops.append(_finalize_crop(c, expo))
         batch = _to_batch(crops)
         batch["name"] = name
         return batch
@@ -196,9 +215,8 @@ class Stage3Crops:
         hu, label = _load_volume(self.data_root, name)
         lib = np.load(os.path.join(self.file_root, "LIB_weight", name + ".npy"))
         br_w = np.load(os.path.join(self.br_weight_path, name + ".npy"))
-        weight = _powered_weight(
-            lib.astype(np.float32) + 0.6 * br_w.astype(np.float32), label, self.rng
-        )
+        lib_mix = lib.astype(np.float32) + 0.6 * br_w.astype(np.float32)
+        expo = self.rng.random() + 2.0
         br_skel = np.load(os.path.join(self.br_skel_path, name + ".npy"))
         pred2 = read_nifti(os.path.join(self.pred2_path, name + ".nii.gz")).array
         if pred2.ndim > 3:
@@ -206,31 +224,30 @@ class Stage3Crops:
         skel = read_nifti(
             os.path.join(self.file_root, "skeleton", name + "mask_cut.nii.gz")
         ).array
-        skel = (skel > 0).astype(np.float32)
+        skel = (skel > 0).astype(np.uint8)
 
-        dis = ndimage.distance_transform_edt(label)
-        loc_small = np.where((dis * skel) < 2)  # bug-compatible, see Stage2
-        loc_skeleton = np.where(skel * (1 - pred2.astype(np.float32)))
+        loc_small = small_airway_sampler(label, skel, self.rng)  # see Stage2
+        loc_skeleton = np.where((skel != 0) & (pred2 == 0))
         loc_break = tuple(br_skel)
 
-        img, img2 = _window_pair(hu)
-        vols = {"img": img, "img2": img2, "label": label, "weight": weight,
-                "skel": skel}
+        vols = {"hu": hu, "label": label, "lib": lib_mix, "skel": skel}
         crops = []
         for _ in range(self.batch_size):
             if self.rng.random() < self.hard_ratio:
                 if self.rng.random() < self.break_ratio and len(loc_break[0]) != 0:
                     c = location_crop(vols, loc_break, self.cube, self.rng)
-                elif self.rng.random() < 0.5:
-                    c = location_crop(vols, loc_small, self.cube, self.rng)
-                else:
+                elif self.rng.random() < 0.5 and (p := loc_small()) is not None:
+                    c = point_crop(vols, p, self.cube, self.rng)
+                elif len(loc_skeleton[0]) != 0:
                     c = location_crop(vols, loc_skeleton, self.cube, self.rng)
+                else:
+                    c = random_crop(vols, self.cube, self.rng)
             else:
                 c = random_crop(vols, self.cube, self.rng)
             if self.aug:
                 vals = augment_crops(list(c.values()), self.rng)
                 c = dict(zip(c.keys(), vals))
-            crops.append(c)
+            crops.append(_finalize_crop(c, expo))
         batch = _to_batch(crops)
         batch["name"] = name
         return batch

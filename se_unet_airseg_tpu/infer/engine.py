@@ -144,11 +144,13 @@ def run_test(
     stage_name: str = "stage_three",
     dti: bool = True,
     rng=None,
+    cube: int = 128,
+    step: int = 64,
 ):
     """Reference test.py flow; returns the per-case metric list."""
     import jax
 
-    runner = SlidingWindowRunner(params, cfg, train_mode=True)
+    runner = SlidingWindowRunner(params, cfg, train_mode=True, cube=cube, step=step)
     if rng is None:
         rng = jax.random.key(0)
     outdir = os.path.join(result_savepath, stage_name)
@@ -214,6 +216,8 @@ def network_prediction(
     *,
     h_thresh: float = 0.5,
     l_thresh: float = 0.4,
+    cube: int = 128,
+    step: int = 64,
 ):
     """Deployment path (reference prediction.py:51-154): raw-HU volume
     in, `<case>_pred_mask.nii.gz` out. Runs in EVAL mode — the one
@@ -228,7 +232,7 @@ def network_prediction(
     name = preprocess_ct_volume(ct_path, save_dir, mode="prediction")
     img = read_nifti(os.path.join(save_dir, name + "data_cut.nii.gz"))
 
-    runner = SlidingWindowRunner(params, cfg, train_mode=False)
+    runner = SlidingWindowRunner(params, cfg, train_mode=False, cube=cube, step=step)
     trits = runner.predict_trits(
         img.array, h_thresh=h_thresh, l_thresh=l_thresh, hu_shift=-1024.0
     )

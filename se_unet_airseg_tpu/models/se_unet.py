@@ -349,16 +349,22 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True, n_gates: int = 1):
 
 
 def _cat_block_s2d(p: Params, x):
-    from ..ops.s2d import grouped_pointwise, instance_norm_s2d
+    """CATConv on one s2d tensor or a LIST of them: a list is consumed
+    as a plain channel concat with the interleave permutation folded
+    into the block-diagonal pointwise weight (zero data movement for
+    the cat itself)."""
+    from ..ops.s2d import grouped_pointwise_multi, instance_norm_s2d
 
-    y = grouped_pointwise(x, p["conv"]["w"][0, 0, 0])
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    y = grouped_pointwise_multi(xs, p["conv"]["w"][0, 0, 0])
     return leaky_relu(instance_norm_s2d(y))
 
 
 def _sse_block_s2d_phased(p: Params, x, want_side: bool = True, n_gates: int = 1):
     """SSEConv (one SE gate) on an s2d tensor via the per-output-phase
     conv decomposition — used for the full-res decoder where dense
-    block-lifting would cost 8x FLOPs."""
+    block-lifting would cost 8x FLOPs. A list input is a plain concat;
+    the interleave goes into the lifted kernel rows."""
     from ..ops.s2d import (
         conv3_s2d_phased,
         grouped_pointwise,
@@ -366,7 +372,12 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True, n_gates: int = 1
         se_gate_s2d,
     )
 
-    e = conv3_s2d_phased(x, p["conv"]["w"], p["conv"]["b"])
+    if isinstance(x, (list, tuple)):
+        splits = tuple(t.shape[-1] // 8 for t in x)
+        x = x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
+    else:
+        splits = None
+    e = conv3_s2d_phased(x, p["conv"]["w"], p["conv"]["b"], in_splits=splits)
     e = leaky_relu(instance_norm_s2d(e))
     for g in range(n_gates):
         e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
@@ -536,7 +547,7 @@ def apply_fast(
     e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False)
     f0, f1, f2 = e0, e1, e1_1  # head features
-    e1 = _cat_block_s2d(p["ec33"], _s2d_cat(e1_1, e0, e1))
+    e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1])
     e1 = e1 + _cat_block_s2d(p["x33"], xs)
     e2 = max_pool_s2d(e1)  # exits s2d: (B, n, n, n, 32)
     x2 = max_pool_s2d(xs)
@@ -548,7 +559,7 @@ def apply_fast(
     e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2)
     e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2)
     f3, f4, f5 = e2s, e3s, e3_1s
-    e3s = _cat_block_s2d(p["ec63"], _s2d_cat(e3_1s, e2s, e3s))
+    e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s])
     e3s = e3s + _cat_block_s2d(p["x63"], x2s)
     e4 = max_pool_s2d(e3s)
     x3 = max_pool_s2d(x2s)
@@ -578,14 +589,14 @@ def apply_fast(
 
     # ---- decoder level 2 (s2d at 32^3 blocks) ----
     d1s = upsample_to_s2d(d0, 2)  # (32^3 blocks of 64^3, 8*64)
-    d1s, _ = _sse_block_s2d_phased(p["dc3"], _s2d_cat(d1s, e3s), want_side=False, n_gates=2)
+    d1s, _ = _sse_block_s2d_phased(p["dc3"], [d1s, e3s], want_side=False, n_gates=2)
     d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False, n_gates=2)
     f14, f15 = d1s, d1_1s
-    d1s = _cat_block_s2d(p["dc42"], _s2d_cat(d1_1s, d1s))
+    d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s])
 
     # ---- decoder level 1 (full res, all in s2d) ----
     up_s = upsample_to_s2d(depth_to_space(d1s), 2)  # (n^3, 8*32)
-    d2, _ = _sse_block_s2d_phased(p["dc5"], _s2d_cat(up_s, e1), want_side=False)
+    d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False)
     d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False)
     f16, f17 = d2, d2_1
     # dc62's output feeds nothing in the reference forward (its result

@@ -94,50 +94,71 @@ def bias_to_s2d(b: jnp.ndarray) -> jnp.ndarray:
 
 def grouped_pointwise(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None):
     """1x1x1 conv on an s2d tensor. Weights (Ci, Co) are shared across
-    sub-positions (a 1x1 conv is position-independent), so this is a
-    single einsum on the (…, 8, Ci)-reshaped tensor."""
-    *lead, c8 = x.shape
-    ci = w.shape[0]
-    xr = x.reshape(*lead, 8, ci)
-    y = jnp.einsum("...pi,io->...po", xr, w.astype(x.dtype), precision=HP)
+    sub-positions; formulated as ONE dense (..., 8Ci) @ (8Ci, 8Co)
+    matmul with a block-diagonal kron weight. The 8x redundant zeros
+    cost MXU cycles the chip has to spare — what it does NOT have to
+    spare is the HBM relayout a (…, 8, Ci)-reshaped batched-matmul
+    formulation forces on every big tensor (55% of forward device time
+    was layout copies before this rewrite)."""
+    co = w.shape[1]
+    wd = jnp.kron(jnp.eye(8, dtype=x.dtype), w.astype(x.dtype))  # (8Ci, 8Co)
+    y = jnp.einsum("...i,io->...o", x, wd, precision=HP)
     if b is not None:
-        y = y + b.astype(y.dtype)
-    return y.reshape(*lead, 8 * w.shape[1])
+        y = y + jnp.tile(b, 8).astype(y.dtype)
+    return y
 
 
 def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm over (D,H,W,8 sub-positions) per original channel.
 
     Equivalent to ops.norms.instance_norm on the depth_to_space image.
-    """
+    All full-size tensor traffic stays 5-D in the native (…, 8C)
+    layout; only the (B, C8) reduction results are regrouped."""
     b, d, h, w, c8 = x.shape
     c = c8 // 8
-    xr = x.reshape(b, d, h, w, 8, c).astype(jnp.float32)
-    mean = jnp.mean(xr, axis=(1, 2, 3, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xr - mean), axis=(1, 2, 3, 4), keepdims=True)
-    y = (xr - mean) * lax.rsqrt(var + eps)
-    return y.reshape(b, d, h, w, c8).astype(x.dtype)
+    n = d * h * w * 8
+    s1 = jnp.sum(x, axis=(1, 2, 3), dtype=jnp.float32)  # (b, c8)
+    mean = jnp.sum(s1.reshape(b, 8, c), axis=1) / n  # (b, c)
+    mean8 = jnp.tile(mean, (1, 8))[:, None, None, None, :]
+    d2 = jnp.sum(
+        jnp.square(x.astype(jnp.float32) - mean8), axis=(1, 2, 3)
+    )  # (b, c8)
+    var = jnp.sum(d2.reshape(b, 8, c), axis=1) / n
+    scale = lax.rsqrt(var + eps)  # (b, c)
+    scale8 = jnp.tile(scale, (1, 8))[:, None, None, None, :]
+    return ((x.astype(jnp.float32) - mean8) * scale8).astype(x.dtype)
 
 
 def se_gate_s2d(x: jnp.ndarray, w_se: jnp.ndarray) -> jnp.ndarray:
     """Spatial squeeze-excitation on an s2d tensor: per ORIGINAL voxel
     gate sigmoid(<features, w>) broadcast over that voxel's channels.
-    `w_se` is the reference (Ci, 1) kernel (no bias)."""
+    `w_se` is the reference (Ci, 1) kernel (no bias).
+
+    5-D formulation: gate = x @ kron(I8, w) gives the 8 per-position
+    gates; the broadcast back over each position's channels is a
+    second one-hot matmul (8, 8Ci) — both stay in the native layout."""
     import jax
 
     *lead, c8 = x.shape
     ci = w_se.shape[0]
-    xr = x.reshape(*lead, 8, ci)
-    gate = jnp.einsum("...pi,io->...po", xr, w_se.astype(x.dtype), precision=HP)
-    return (xr * jax.nn.sigmoid(gate)).reshape(*lead, c8)
+    eye = jnp.eye(8, dtype=x.dtype)
+    wg = jnp.kron(eye, w_se.astype(x.dtype))  # (8Ci, 8)
+    gate = jax.nn.sigmoid(jnp.einsum("...i,ip->...p", x, wg, precision=HP))
+    onehot = jnp.kron(eye, jnp.ones((1, ci), x.dtype))  # (8, 8Ci)
+    return x * jnp.einsum("...p,pj->...j", gate, onehot, precision=HP)
 
 
 def max_pool_s2d(x: jnp.ndarray) -> jnp.ndarray:
     """MaxPool3d(2,2) of the underlying image: max over sub-positions.
-    (B, n, n, n, 8C) -> (B, n, n, n, C)."""
+    (B, n, n, n, 8C) -> (B, n, n, n, C) — as a maximum tree over the 8
+    per-position channel slices (one fused elementwise pass, no 6-D
+    relayout)."""
     *lead, c8 = x.shape
     c = c8 // 8
-    return jnp.max(x.reshape(*lead, 8, c), axis=-2)
+    out = x[..., :c]
+    for p in range(1, 8):
+        out = jnp.maximum(out, x[..., p * c : (p + 1) * c])
+    return out
 
 
 @lru_cache(maxsize=None)
@@ -186,7 +207,12 @@ def _phase_lift_tensor(a: int, b: int, c: int) -> np.ndarray:
     return m
 
 
-def conv3_s2d_phased(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None):
+def conv3_s2d_phased(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    in_splits: tuple | None = None,
+):
     """Dense 3^3 dil-1 pad-1 conv applied to an s2d tensor, emitted in
     s2d layout. Exactly equals
     space_to_depth(conv3d(depth_to_space(x), w, b, padding=1)).
@@ -196,6 +222,11 @@ def conv3_s2d_phased(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = Non
     lanes); each phase then takes a shifted spatial slice of the
     (n+1)^3 VALID-conv output. ~2.4x the original FLOPs — far cheaper
     than the 8x of a dense 3^3 block kernel, with full-width lanes.
+
+    `in_splits`: if `x` is a PLAIN channel-concat of s2d tensors with
+    these original channel counts (see grouped_pointwise_multi), the
+    interleave permutation is folded into the lifted kernel's input
+    rows — the concat itself then needs no data movement.
     """
     from .conv import conv3d
 
@@ -207,6 +238,9 @@ def conv3_s2d_phased(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = Non
         wq = jnp.einsum("ZYXpdef,defio->ZYXpio", m, w, precision=HP)
         kernels.append(wq.reshape(2, 2, 2, 8 * ci, co))
     w_all = jnp.concatenate(kernels, axis=-1)  # (2,2,2, 8Ci, 8Co)
+    if in_splits is not None:
+        perm = np.asarray(plain_to_interleaved_perm(tuple(in_splits)))
+        w_all = w_all[:, :, :, perm, :]
     b_all = jnp.tile(b, 8) if b is not None else None
 
     n = x.shape[1]
@@ -217,6 +251,48 @@ def conv3_s2d_phased(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = Non
             y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
         )
     return jnp.concatenate(outs, axis=-1)
+
+
+def grouped_pointwise_multi(
+    xs: list, w: jnp.ndarray, b: jnp.ndarray | None = None
+):
+    """1x1x1 conv applied to the CONCAT (in original-channel order) of
+    several s2d tensors — without interleaving them. The tensors are
+    concatenated plainly (each keeps its own p-major channel block) and
+    the interleave permutation is folded into the block-diagonal
+    weight: W[off8_t + p*c_t + i, p*co + o] = w[cum_t + i, o].
+    Exactly equals grouped_pointwise(s2d-interleaved-cat(xs), w, b)."""
+    dtype = xs[0].dtype
+    eye = jnp.eye(8, dtype=dtype)
+    parts = []
+    cum = 0
+    for t in xs:
+        c_t = t.shape[-1] // 8
+        parts.append(jnp.kron(eye, w[cum : cum + c_t].astype(dtype)))
+        cum += c_t
+    wd = jnp.concatenate(parts, axis=0)  # (sum 8c_t, 8Co)
+    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+    y = jnp.einsum("...i,io->...o", x, wd, precision=HP)
+    if b is not None:
+        y = y + jnp.tile(b, 8).astype(y.dtype)
+    return y
+
+
+@lru_cache(maxsize=None)
+def plain_to_interleaved_perm(channel_counts: tuple) -> tuple:
+    """perm[plain_idx] = interleaved_idx for a plain concat of s2d
+    tensors with ORIGINAL channel counts `channel_counts`: plain index
+    off8_t + p*c_t + i corresponds to interleaved index
+    p*C + cum_t + i (C = sum of counts)."""
+    C = sum(channel_counts)
+    perm = []
+    cum = 0
+    for c_t in channel_counts:
+        for p in range(8):
+            for i in range(c_t):
+                perm.append(p * C + cum + i)
+        cum += c_t
+    return tuple(perm)
 
 
 def to_polyphase(x: jnp.ndarray) -> jnp.ndarray:

@@ -71,7 +71,8 @@ def run_full_curriculum(cfg: PipelineConfig):
 
     # ---- pred_1 over train+val (reference train.py:876) ----
     pred1_dir = os.path.join(cfg.file_root, "pred_1")
-    save_stage_pred(state1.params, cfg.model_cfg, fp, cfg.data_root, pred1_dir)
+    save_stage_pred(state1.params, cfg.model_cfg, fp, cfg.data_root, pred1_dir,
+                    cube=cfg.cube, step=cfg.cube // 2)
 
     # ---- stage 2 ----
     s2 = stage_cfg(
@@ -93,7 +94,8 @@ def run_full_curriculum(cfg: PipelineConfig):
 
     # ---- pred_2 + break priors (reference train.py:894-898) ----
     pred2_dir = os.path.join(cfg.file_root, "pred_2")
-    save_stage_pred(params2, cfg.model_cfg, fp, cfg.data_root, pred2_dir)
+    save_stage_pred(params2, cfg.model_cfg, fp, cfg.data_root, pred2_dir,
+                    cube=cfg.cube, step=cfg.cube // 2)
     br_weight_dir = os.path.join(cfg.file_root, "BR_weight")
     br_skel_dir = os.path.join(cfg.file_root, "br_skel")
     save_weight_break(cfg.data_root, pred2_dir, br_weight_dir, br_skel_dir, fp)
@@ -123,5 +125,6 @@ def run_full_curriculum(cfg: PipelineConfig):
         validate(
             params, cfg.model_cfg, names, cfg.data_root, cfg.file_root,
             ep, scfg.log_savepath + ".dti", dti=True, stage=stage,
+            cube=cfg.cube, step=cfg.cube // 2,
         )
     return s3

@@ -84,6 +84,8 @@ def save_stage_pred(
     file_path: str,
     data_root: str,
     save_dir: str,
+    cube: int = 128,
+    step: int = 64,
 ):
     """Full-volume binarized predictions over train+val for the next
     stage's hard-mining (raw-logit > 0.5, train-mode net — reference
@@ -94,7 +96,7 @@ def save_stage_pred(
 
     os.makedirs(save_dir, exist_ok=True)
     runner = SlidingWindowRunner(
-        params, cfg, use_sigmoid=False, train_mode=True
+        params, cfg, use_sigmoid=False, train_mode=True, cube=cube, step=step
     )
     names = load_json_file(file_path, "0", ("train", "val"))
     for i, name in enumerate(sorted(names)):
@@ -164,10 +166,10 @@ def save_weight_break(
                 continue
             br_skel += t
         br_label = br_skel[inds[0], inds[1], inds[2]] * label
-        edt2, _ = ndimage.distance_transform_edt(
-            1 - (ndimage.binary_dilation(br_label) - (br_label > 0)),
-            return_indices=True,
-        )
+        shell = ndimage.binary_dilation(br_label).astype(np.float32) - (
+            br_label > 0
+        ).astype(np.float32)
+        edt2 = ndimage.distance_transform_edt(1 - shell)
         w_br = br_label * edt2
         w_br[w_br >= 2] = 2
         lam = 0.7

@@ -165,22 +165,35 @@ def refine_to_fixpoint(parse: np.ndarray, num: int):
     return parse.astype(np.uint16), num
 
 
-def atm22_parse(mask: np.ndarray):
-    """Full ATM22 pipeline for one binary airway mask. Returns
-    (parse_map uint16, n_branches)."""
+def atm22_centerline(mask: np.ndarray):
+    """Centerline stage (reference tree_parsing.py:96-118): largest
+    6-CC -> skeletonize -> junction-cut branch labels, with the heavy
+    voxel work bbox-cropped. Returns (label, sl, crop, parse_skel, cd,
+    num) where `sl` places `crop` back into the full volume."""
     label = largest_component_6(mask)
-    # bbox-crop the heavy voxel work, paste back at the end
     idx = np.argwhere(label)
     lo = np.maximum(idx.min(axis=0) - 4, 0)
     hi = np.minimum(idx.max(axis=0) + 5, label.shape)
     sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
     crop = label[sl]
-
     skel = skeletonize_3d(crop)
     parse_skel, cd, num = skeleton_parsing(skel)
+    return label, sl, crop, parse_skel, cd, num
+
+
+def atm22_refine(label_shape, sl, crop, parse_skel, cd, num):
+    """Parse stage (reference tree_parsing.py:146-160):
+    nearest-skeleton voxel assignment + refinement fixpoint. Returns
+    (full-volume parse map uint16, n_branches)."""
     parse = tree_parsing_func(parse_skel, crop, cd)
     parse, num = refine_to_fixpoint(parse, num)
-
-    out = np.zeros(label.shape, np.uint16)
+    out = np.zeros(label_shape, np.uint16)
     out[sl] = parse
     return out, num
+
+
+def atm22_parse(mask: np.ndarray):
+    """Full ATM22 pipeline for one binary airway mask. Returns
+    (parse_map uint16, n_branches)."""
+    label, sl, crop, parse_skel, cd, num = atm22_centerline(mask)
+    return atm22_refine(label.shape, sl, crop, parse_skel, cd, num)

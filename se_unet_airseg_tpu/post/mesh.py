@@ -61,12 +61,16 @@ def write_binary_stl(path: str, triangles: np.ndarray, name: bytes = b"airseg"):
 
 
 def export_mask_stl(path: str, mask: np.ndarray, *, center=None,
-                    scale: float = 1.0, level: float = 0.5):
+                    scale: float = 1.0, level: float = 0.5,
+                    spacing=None):
     """Mask -> surface -> STL, with the reference's centering/scaling
     convention (vertices shifted by `center`, divided by `scale` —
     reference prediction.py:137-145 uses the skeleton centroid and 10).
-    """
+    `spacing` multiplies vertices per axis to physical mm (the ATM22
+    driver's convention, reference tree_parsing.py:99-103)."""
     tris = marching_surface(mask.astype(np.float32), level)
+    if spacing is not None:
+        tris = tris * np.asarray(spacing, np.float32)[None, None, :]
     if center is not None:
         tris = tris - np.asarray(center, np.float32)
     if scale != 1.0:

@@ -38,7 +38,9 @@ def render_centerlines(branches, path: str, title: str = ""):
     ax = fig.add_subplot(projection="3d")
     colors = _colors(len(branches))
     for b, c in zip(branches, colors):
-        pts = np.asarray(b.points(), np.float64)
+        pts = np.asarray(b.points() if hasattr(b, "points") else b, np.float64)
+        if pts.size == 0:
+            continue
         ax.plot(pts[:, 1], pts[:, 2], pts[:, 0], color=c, linewidth=1.0)
     ax.set_title(title or f"{len(branches)} branches")
     ax.set_axis_off()

@@ -25,10 +25,10 @@ Semantics preserved:
   * `tree_parsing_func`: every foreground voxel takes the branch id of
     the nearest rasterized skeleton point (exact EDT with indices).
 
-Not (yet) reproduced: the trachea-centerline smoothing pass
-(ours_skel_parse.py:247-386) and the anatomical `regrade` relabeling
-(653-978) — branch counts and the training-prior artifacts do not
-depend on them.
+The trachea-centerline smoothing pass (ours_skel_parse.py:247-386) is
+implemented below (`smooth_main_airway` + the re-subsection in
+`Topology_Tree.sub`), and the anatomical `regrade` relabeling
+(653-978) lives in `post/regrade.py`.
 """
 
 from __future__ import annotations

@@ -46,8 +46,14 @@ def test_cli_ours_and_atm22(tmp_path):
     n = int(report.splitlines()[-1].split()[-1])
     assert 3 <= n <= 9  # Y-tree: trachea + 2 + distals after merging
 
-    assert os.path.exists(out_atm / "CASE001_parse_map.nii.gz")
-    assert os.path.exists(out_atm / "CASE001_time.txt")
+    # ATM22 side emits the reference's full artifact set
+    # (tree_parsing.py:80-210): STL + PNG + GIF + parse map + report
+    for f in ("CASE001_parse_map.nii.gz", "CASE001_time.txt",
+              "CASE001.stl", "CASE001.png", "CASE001_model.png",
+              "CASE001.gif"):
+        assert os.path.exists(out_atm / f), f
+    atm_report = open(out_atm / "CASE001_time.txt").read()
+    assert "Centerline segment time" in atm_report
 
     # parse maps cover the mask
     from se_unet_airseg_tpu.io import read_nifti

@@ -110,3 +110,36 @@ def test_random_color_range():
     a = np.ones((4, 4, 4), np.float32)
     out = random_color(a, rng, rate=0.2)
     assert 0.6 <= out.mean() <= 1.4
+
+
+def test_small_airway_sampler_matches_reference_set():
+    """The rejection sampler must accept exactly the voxels of the
+    reference's materialized set {EDT(label)*skel < 2} (data.py:305,
+    bug-compatible `<2`)."""
+    from scipy import ndimage
+
+    from se_unet_airseg_tpu.data.samplers import small_airway_sampler
+
+    rng = np.random.default_rng(0)
+    # thick tube with a skeleton line: interior skeleton voxels have
+    # EDT >= 2 and must be REJECTED, everything else accepted
+    label = np.zeros((12, 12, 12), np.uint8)
+    label[2:10, 2:10, 2:10] = 1
+    skel = np.zeros_like(label)
+    skel[6, 6, 2:10] = 1  # deep inside: EDT ~ 4
+    skel[2, 2, 2:10] = 1  # on the corner edge: EDT = 1
+
+    dis = ndimage.distance_transform_edt(label)
+    ref_ok = (dis * skel) < 2
+
+    draw = small_airway_sampler(label, skel, rng)
+    seen = set()
+    for _ in range(4000):
+        p = draw()
+        assert p is not None
+        assert ref_ok[p], f"sampler accepted out-of-set voxel {p}"
+        seen.add(p)
+    # the accepted points must cover both skel-free and edge-skeleton
+    # voxels (i.e. it is not just sampling the complement of skel)
+    assert ref_ok[2, 2, 5]
+    assert any(skel[p] for p in seen), "edge skeleton voxels are in-set"

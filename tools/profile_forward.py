@@ -24,11 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _trace(fn, logdir, iters=3):
     import jax
 
-    out = fn()
-    jax.block_until_ready(out)  # compile + warm
+    def sync(o):
+        # force a device round-trip: on the tunneled axon platform
+        # block_until_ready can return before execution finishes
+        return np.asarray(jax.tree.leaves(o)[0]).ravel()[0]
+
+    sync(fn())  # compile + warm
     t0 = time.perf_counter()
     out = fn()
-    jax.block_until_ready(out)
+    sync(out)
     wall = time.perf_counter() - t0
     with jax.profiler.trace(logdir):
         for _ in range(iters):
@@ -38,7 +42,7 @@ def _trace(fn, logdir, iters=3):
 
 
 def parse_xplane(logdir, iters=3, top=40):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     xs = xplane_pb2.XSpace()
