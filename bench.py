@@ -42,7 +42,9 @@ def main():
     # stored-volume contract: int16 HU+1024 (se half-size uploads)
     vol = (rng.random((320, 256, 320)) * 1400.0 + 24.0).astype(np.int16)
 
-    runner = SlidingWindowRunner(params, cfg, batch=8)
+    runner = SlidingWindowRunner(
+        params, cfg, batch=int(os.environ.get("BENCH_BATCH", "8"))
+    )
 
     def engine_once():
         # the BASELINE metric scope: upload, windowing, tiling, forward,
@@ -54,18 +56,20 @@ def main():
     trits = engine_once()  # warmup/compile on the same shapes
 
     n_tiles = len(pad_positions_to_batch(tile_positions(vol.shape), runner.batch))
-    # best of 3 back-to-back runs: the tunneled dev TPU shows 20-40%
-    # run-to-run variance and goes cold when the host idles between
-    # calls; steady-state capability is the metric
-    dt = float("inf")
-    for _ in range(3):
+    # steady-state window: discard the (already-run) warmup, take the
+    # MEDIAN of 5 back-to-back runs and report the spread so
+    # round-over-round deltas are trustworthy (VERDICT r1 item 9)
+    runs = []
+    for _ in range(5):
         t0 = time.perf_counter()
         trits = engine_once()
         run = time.perf_counter() - t0
         if os.environ.get("BENCH_DEBUG"):
             print(f"run: {run:.2f}s", file=sys.stderr)
-        dt = min(dt, run)
-    tiles_per_s = n_tiles / dt
+        runs.append(run)
+    med = sorted(runs)[len(runs) // 2]
+    tiles_per_s = n_tiles / med
+    spread = (max(runs) - min(runs)) / med
 
     # the host post-processing chain runs for end-to-end coverage but
     # is not the timed metric (the reference's throughput unit is
@@ -79,6 +83,8 @@ def main():
                 "value": round(tiles_per_s, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_s / A100_BASELINE_TILES_PER_S, 2),
+                "median_s": round(med, 3),
+                "rel_spread": round(spread, 3),
             }
         )
     )

@@ -258,12 +258,17 @@ class OnlineCrops:
     data.py:586-630): top `rate` fraction by the loss encoded in the
     filename `<loss>_<iter>.npy`."""
 
-    def __init__(self, cache_root: str, rate: float = 0.33, with_skel=False):
+    def __init__(self, cache_root: str, rate: float = 0.33, with_skel=False,
+                 shuffle_rng=None):
         self.root = cache_root
         self.with_skel = with_skel
         names = os.listdir(os.path.join(cache_root, "image"))
         names.sort(key=lambda x: float(x.split("_")[0]))
         self.names = names[-int(rate * len(names)):] if names else []
+        if shuffle_rng is not None:
+            # the reference replays in SHUFFLED order
+            # (DataLoader(shuffle=True), train.py:474)
+            shuffle_rng.shuffle(self.names)
 
     def __len__(self):
         return len(self.names)

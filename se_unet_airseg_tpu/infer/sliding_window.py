@@ -93,6 +93,11 @@ class SlidingWindowRunner:
         overlap accumulation stays replicated (XLA all-gathers the
         per-tile probabilities, which are small next to the forward).
         `batch` must be a multiple of the data-axis size."""
+        if mesh is not None and cfg.use_pallas is None:
+            # single-device Pallas kernels don't partition over a mesh
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, use_pallas=False)
         self.params = params
         self.cfg = cfg
         self.cube = cube

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any
 
 import jax
@@ -57,6 +58,12 @@ class SEUNetConfig:
     # rematerialize each conv block in backward — trades ~30% extra
     # FLOPs for the activation memory of a 128^3 crop fitting in HBM
     remat: bool = False
+    # fused Pallas phased-conv+stats kernels for the s2d blocks.
+    # None currently resolves to OFF: standalone kernel timings trail
+    # the XLA composition (10.3 vs 8.3 ms at the ec4 shape) and the
+    # in-model verdict is pending (tools/e2e_forward_bench.py); flip
+    # the auto rule when the fused path wins end-to-end.
+    use_pallas: bool | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -298,11 +305,13 @@ def apply(
 
 
 def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1):
-    """SSEConv (one SE gate) on an s2d tensor via block-lifted conv.
-
-    Only used at full resolution where side upsampling is identity, so
-    the side output is returned in s2d layout directly.
-    """
+    """SSEConv (one SE gate) on an s2d tensor via the block-lifted
+    dense 3^3 conv — the XLA path for the narrow full-res encoder
+    blocks (ec1/ec2). The lift costs 8x the original FLOPs but (at
+    Ci<=16) those are negligible, and unlike the phased formulation it
+    needs NO pad/8-slice/concat memory traffic on the full-res
+    tensors (routing ec1/ec2 through the phased path measurably
+    regressed the engine bench 13.8 -> 10.7 tiles/s)."""
     from ..ops.s2d import (
         bias_to_s2d,
         conv3_weight_to_s2d,
@@ -322,24 +331,32 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1):
     return e, side
 
 
-def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True, n_gates: int = 1):
-    """SSEConv with dilation 2 via polyphase decomposition (exact, no
-    FLOP overhead): 8 sub-grids convolved dil-1 as batch entries.
-    (A feature_group_count=8 grouped-conv formulation is equivalent and
-    transpose-free, but fails to compile at the engine's batch=8
-    operating point on v5e — kept as a round-2 experiment.)"""
+def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
+                        n_gates: int = 1, use_pallas: bool = False):
+    """SSEConv with dilation 2. XLA path: polyphase decomposition
+    (exact, no FLOP overhead — 8 sub-grids convolved dil-1 as batch
+    entries, at the price of two full-tensor transposes). Pallas path:
+    per-position im2col conv in one fused kernel with InstanceNorm
+    statistics, no transposes (ops/pallas_s2d.dil2_conv_stats)."""
     from ..ops.s2d import (
         from_polyphase,
         grouped_pointwise,
+        instance_norm_from_stats,
         instance_norm_s2d,
         se_gate_s2d,
         to_polyphase,
     )
 
-    xp = to_polyphase(x)
-    e = conv3d(xp, p["conv"]["w"], p["conv"]["b"], padding=1)
-    e = from_polyphase(e)
-    e = leaky_relu(instance_norm_s2d(e))
+    if use_pallas:
+        from ..ops.pallas_s2d import dil2_conv_stats
+
+        y, s1, s2 = dil2_conv_stats(x, p["conv"]["w"], p["conv"]["b"])
+        e = leaky_relu(instance_norm_from_stats(y, s1, s2))
+    else:
+        xp = to_polyphase(x)
+        e = conv3d(xp, p["conv"]["w"], p["conv"]["b"], padding=1)
+        e = from_polyphase(e)
+        e = leaky_relu(instance_norm_s2d(e))
     for g in range(n_gates):
         e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
     if not want_side:
@@ -360,15 +377,20 @@ def _cat_block_s2d(p: Params, x):
     return leaky_relu(instance_norm_s2d(y))
 
 
-def _sse_block_s2d_phased(p: Params, x, want_side: bool = True, n_gates: int = 1):
+def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
+                          n_gates: int = 1, use_pallas: bool = False):
     """SSEConv (one SE gate) on an s2d tensor via the per-output-phase
-    conv decomposition — used for the full-res decoder where dense
-    block-lifting would cost 8x FLOPs. A list input is a plain concat;
-    the interleave goes into the lifted kernel rows."""
+    conv decomposition — used for all full-res and 1/2-res blocks. A
+    list input is a plain concat; the interleave goes into the lifted
+    kernel rows. With `use_pallas` the conv (pad + 2^3 block conv +
+    phase gather) and the InstanceNorm statistics run as one fused TPU
+    kernel (ops/pallas_s2d.py)."""
     from ..ops.s2d import (
         conv3_s2d_phased,
         grouped_pointwise,
+        instance_norm_from_stats,
         instance_norm_s2d,
+        phased_conv_weights,
         se_gate_s2d,
     )
 
@@ -377,8 +399,28 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True, n_gates: int = 1
         x = x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
     else:
         splits = None
-    e = conv3_s2d_phased(x, p["conv"]["w"], p["conv"]["b"], in_splits=splits)
-    e = leaky_relu(instance_norm_s2d(e))
+    # Mosaic rejects the kernel's sub-lane-width vectors ("unsupported
+    # shape cast") below the 128-lane tile — keep narrow blocks
+    # (ec1/ec2) on the XLA composition
+    use_pallas = (
+        use_pallas
+        and x.shape[-1] >= 128
+        and 8 * p["conv"]["w"].shape[4] >= 128
+    )
+    if use_pallas:
+        from ..ops.pallas_s2d import phased_conv_stats
+
+        w_all, b_all = phased_conv_weights(
+            p["conv"]["w"], p["conv"]["b"], splits
+        )
+        y, s1, s2 = phased_conv_stats(
+            x, w_all.reshape(8, *w_all.shape[3:]),
+            b_all.astype(jnp.float32),
+        )
+        e = leaky_relu(instance_norm_from_stats(y, s1, s2))
+    else:
+        e = conv3_s2d_phased(x, p["conv"]["w"], p["conv"]["b"], in_splits=splits)
+        e = leaky_relu(instance_norm_s2d(e))
     for g in range(n_gates):
         e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
     if not want_side:
@@ -518,6 +560,12 @@ def apply_fast(
     p = jax.tree.map(lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
     x = x.astype(dt)
     cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+    # auto currently resolves to off — see SEUNetConfig.use_pallas
+    upl = bool(cfg.use_pallas)
+    # the dil-2 kernel trips a Mosaic concat limitation ("offset
+    # mismatch on non-concat dimension") — opt-in separately until the
+    # im2col build is restructured
+    upl_dil2 = upl and os.environ.get("PALLAS_DIL2", "0") == "1"
 
     if cfg.remat:
         # rematerialize each block in backward so 128^3 crop training
@@ -545,7 +593,7 @@ def apply_fast(
     xs = space_to_depth(x)  # (B, n, n, n, 16)
     e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False)
     e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False)
-    e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False)
+    e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False, use_pallas=upl_dil2)
     f0, f1, f2 = e0, e1, e1_1  # head features
     e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1])
     e1 = e1 + _cat_block_s2d(p["x33"], xs)
@@ -555,9 +603,9 @@ def apply_fast(
     # ---- encoder level 2 (s2d at 32^3 blocks: 256-512 channels) ----
     e2s = space_to_depth(e2)
     x2s = space_to_depth(x2)
-    e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2)
-    e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2)
-    e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2)
+    e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2, use_pallas=upl)
+    e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2, use_pallas=upl_dil2)
+    e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2, use_pallas=upl_dil2)
     f3, f4, f5 = e2s, e3s, e3_1s
     e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s])
     e3s = e3s + _cat_block_s2d(p["x63"], x2s)
@@ -589,15 +637,15 @@ def apply_fast(
 
     # ---- decoder level 2 (s2d at 32^3 blocks) ----
     d1s = upsample_to_s2d(d0, 2)  # (32^3 blocks of 64^3, 8*64)
-    d1s, _ = _sse_block_s2d_phased(p["dc3"], [d1s, e3s], want_side=False, n_gates=2)
-    d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False, n_gates=2)
+    d1s, _ = _sse_block_s2d_phased(p["dc3"], [d1s, e3s], want_side=False, n_gates=2, use_pallas=upl)
+    d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False, n_gates=2, use_pallas=upl)
     f14, f15 = d1s, d1_1s
     d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s])
 
     # ---- decoder level 1 (full res, all in s2d) ----
     up_s = upsample_to_s2d(depth_to_space(d1s), 2)  # (n^3, 8*32)
-    d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False)
-    d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False)
+    d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False, use_pallas=upl)
+    d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False, use_pallas=upl)
     f16, f17 = d2, d2_1
     # dc62's output feeds nothing in the reference forward (its result
     # is dead after SE_UNet.py:230) — skipped here; XLA would DCE it.

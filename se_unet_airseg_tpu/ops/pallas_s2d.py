@@ -1,0 +1,421 @@
+"""Pallas TPU kernels for the s2d conv blocks.
+
+The XLA formulation of the phased s2d conv (ops/s2d.py
+conv3_s2d_phased — the workhorse of the full-res levels, replacing
+reference SE_UNet.py:9-35 Conv3d at 128^3) costs three full HBM round
+trips beyond the conv itself: the pad-to-(n+1) input write, and the
+8-way phase slice + concat of the output. A TPU profile of the forward
+put >50% of device time into exactly this kind of layout traffic.
+
+`phased_conv_stats` runs the whole thing as ONE kernel:
+
+  * grid over (batch, z-tiles, y-tiles); each step DMAs an
+    (tz+2, ty+2, n+2) haloed tile of the pre-padded input into VMEM;
+  * the 2^3-tap block conv is 8 MXU matmuls with N = 8*Co lanes (the
+    full phase-stacked width), accumulated in f32;
+  * the per-phase spatial gather (the "slice+concat") is VMEM index
+    math on the accumulator — it never touches HBM;
+  * per-channel sum / sum-of-squares (the InstanceNorm statistics the
+    next op needs) are accumulated across grid steps into (B, Cout)
+    outputs, so the norm's two full-tensor reduction passes disappear.
+
+The backward pass reuses the XLA composition via jax.custom_vjp (exact
+same math; the kernel is forward-only). On non-TPU backends the kernel
+runs in interpreter mode, keeping CPU tests hermetic.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _pad8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def _vmem_estimate(tz, ty, n, cin, cout_blk, out_itemsize=2) -> int:
+    """Rough scoped-VMEM footprint of one phased-kernel grid step:
+    Mosaic pads sublane extents to 8 and keeps the dot temporary, the
+    sliced operand, and double-buffered blocked in/outs live together.
+    Calibrated against the 'scoped allocation ... exceeded 16M' OOMs
+    of the remote compile helper."""
+    xw = _pad8(n + 2)
+    xs = (tz + 2) * (ty + 2) * xw * cin * 2
+    acc = (tz + 1) * (ty + 1) * _pad8(n + 1) * cout_blk * 4
+    xsl = (tz + 1) * (ty + 1) * _pad8(n + 1) * cin * 2
+    out2 = 2 * tz * ty * n * cout_blk * out_itemsize
+    w2 = 2 * 8 * cin * cout_blk * 2
+    return xs + 2 * acc + xsl + out2 + w2
+
+
+def _pick_tile(n: int, cin: int, cout_blk: int) -> tuple[int, int]:
+    """(tz, ty) dividing n with the largest tile volume whose scoped
+    VMEM estimate fits the 16 MB limit with headroom."""
+    budget = 11 * 1024 * 1024
+    best, best_vol = (2, 2), 0
+    for tz in (2, 4, 8, 16):
+        for ty in (2, 4, 8, 16, 32):
+            if n % tz or n % ty:
+                continue
+            if _vmem_estimate(tz, ty, n, cin, cout_blk) <= budget:
+                if tz * ty > best_vol:
+                    best, best_vol = (tz, ty), tz * ty
+    return best
+
+
+def _pick_nsplit(n: int, cin: int, cout: int) -> int:
+    """Smallest output-channel split (1/2/4/8 blocks) whose best tile
+    fits the VMEM budget."""
+    for ncb in (1, 2, 4, 8):
+        tz, ty = _pick_tile(n, cin, cout // ncb)
+        if _vmem_estimate(tz, ty, n, cin, cout // ncb) <= 11 * 1024 * 1024 \
+                and tz * ty > 4:
+            return ncb
+    return 8
+
+
+def _phased_kernel(tz, ty, n, cin, co, ppb, out_dtype,
+                   x_hbm, w_ref, b_ref, out_ref, s1_ref, s2_ref,
+                   xs, acc_ref, sem):
+    # Grid: (ncb output-channel blocks, batch, z-tiles, y-tiles); each
+    # channel block covers `ppb` phases (ppb * co lanes).
+    # xs extent on the x axis is n+2 rounded up to a sublane multiple
+    # of 8 (DMA slices of an HBM ref need the second-to-last dim
+    # either full or 8-aligned); the tail zeros are never read.
+    # The f32 accumulator lives in a VMEM scratch REF — keeping the
+    # (tz+1, ty+1, n+1, Cblk) intermediate out of SSA values bounds
+    # Mosaic's register pressure (a value-form accumulator OOM-killed
+    # the remote compile helper at the model's hot shapes).
+    nc = pl.program_id(0)
+    b = pl.program_id(1)
+    zi = pl.program_id(2)
+    yi = pl.program_id(3)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(zi * tz, tz + 2), pl.ds(yi * ty, ty + 2)],
+        xs,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    acc_mode = os.environ.get("PALLAS_S2D_ACC", "ref")
+    acc = None
+    for s in range(8):
+        sz, sy, sx = (s >> 2) & 1, (s >> 1) & 1, s & 1
+        xsl = xs[sz : sz + tz + 1, sy : sy + ty + 1, sx : sx + n + 1, :]
+        part = lax.dot_general(
+            xsl,
+            w_ref[s],
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if acc_mode == "value":
+            acc = part if acc is None else acc + part
+        elif s == 0:
+            acc_ref[...] = part + b_ref[0].astype(jnp.float32)
+        else:
+            acc_ref[...] += part
+    if acc_mode == "value":
+        acc_ref[...] = acc + b_ref[0].astype(jnp.float32)
+
+    first = jnp.logical_and(b == 0, jnp.logical_and(zi == 0, yi == 0))
+
+    @pl.when(first)
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    # per-phase gather out of the accumulator + statistics (the stats
+    # refs hold this channel block's (B, Cblk) slice — resident across
+    # the (b, zi, yi) sweep; the row update is one full-width access:
+    # lane-sliced RMW of a VMEM ref crashes the Mosaic vector.load
+    # lowering). The phase's spatial shift comes from its GLOBAL index.
+    # Mosaic constraint: dynamic offsets on the sublane (x) dim must
+    # be provably 8-aligned, so the x-parity shift uses STATIC slices;
+    # z/y offsets may be dynamic (pl.ds) when the channel-block index
+    # makes the global phase a traced value.
+    s1_parts, s2_parts = [], []
+    for ql in range(ppb):
+        if ppb == 8:
+            q = ql  # single channel block: everything static
+            az, ay, ax = (q >> 2) & 1, (q >> 1) & 1, q & 1
+            blk = acc_ref[az : az + tz, ay : ay + ty, ax : ax + n,
+                          ql * co : (ql + 1) * co]
+        else:
+            q = nc * ppb + ql
+            az, ay = (q >> 2) & 1, (q >> 1) & 1
+            ch = slice(ql * co, (ql + 1) * co)
+            both = acc_ref[pl.ds(az, tz), pl.ds(ay, ty), :, ch]
+            if ppb > 1:
+                # phases come in (x=0, x=1) pairs within a block
+                blk = both[:, :, ql % 2 : ql % 2 + n, :]
+            else:
+                blk = jnp.where(
+                    (q & 1) == 0, both[:, :, 0:n, :], both[:, :, 1 : n + 1, :]
+                )
+        out_ref[0, :, :, :, ql * co : (ql + 1) * co] = blk.astype(out_dtype)
+        s1_parts.append(jnp.sum(blk, axis=(0, 1, 2))[None])
+        s2_parts.append(jnp.sum(jnp.square(blk), axis=(0, 1, 2))[None])
+    row = (pl.ds(b, 1), slice(None))
+    s1_ref[row] += (s1_parts[0] if ppb == 1
+                    else jnp.concatenate(s1_parts, axis=1))
+    s2_ref[row] += (s2_parts[0] if ppb == 1
+                    else jnp.concatenate(s2_parts, axis=1))
+
+
+def _pallas_forward(x, w_all, b_all):
+    """x (B, n, n, n, Cin) -> (y (B, n, n, n, Cout) in x.dtype,
+    s1, s2 (B, Cout) f32). w_all (8, Cin, Cout) phase-stacked taps
+    (s-major: s = sz*4+sy*2+sx), b_all (Cout,)."""
+    bsz, n, _, _, cin = x.shape
+    cout = w_all.shape[2]
+    co = cout // 8
+    ncb = _pick_nsplit(n, cin, cout)
+    cblk = cout // ncb
+    ppb = 8 // ncb
+    tz, ty = _pick_tile(n, cin, cblk)
+    xw = _pad8(n + 2)  # x extent, sublane-aligned
+
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, xw - n - 1), (0, 0)))
+    kernel = partial(_phased_kernel, tz, ty, n, cin, co, ppb, x.dtype)
+
+    flops = 2 * bsz * (n + 1) ** 3 * 8 * cin * cout
+    y, s1, s2 = pl.pallas_call(
+        kernel,
+        grid=(ncb, bsz, n // tz, n // ty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, cin, cblk), lambda nc, b, i, j: (0, 0, nc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cblk), lambda nc, b, i, j: (0, nc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tz, ty, n, cblk),
+                         lambda nc, b, i, j: (b, i, j, 0, nc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, cblk), lambda nc, b, i, j: (0, nc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, cblk), lambda nc, b, i, j: (0, nc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n, n, n, cout), x.dtype),
+            jax.ShapeDtypeStruct((bsz, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tz + 2, ty + 2, xw, cin), x.dtype),
+            pltpu.VMEM((tz + 1, ty + 1, n + 1, cblk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * 2 * 2,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xpad, w_all, b_all[None])
+    return y, s1, s2
+
+
+def _dil2_kernel(tz, ty, n, ci, co, out_dtype,
+                 x_hbm, w_ref, b_ref, out_ref, s1_ref, s2_ref,
+                 xs, sem):
+    """Dilation-2 3^3 conv on an s2d tensor = an independent dil-1 3^3
+    conv per sub-position (same reference kernel for all 8). Each
+    position gathers its 27 haloed taps into an im2col strip and runs
+    ONE matmul with K = 27*Ci — the polyphase transposes
+    (to_polyphase/from_polyphase, two full HBM shuffles) disappear."""
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(zi * tz, tz + 2), pl.ds(yi * ty, ty + 2)],
+        xs,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    first = jnp.logical_and(b == 0, jnp.logical_and(zi == 0, yi == 0))
+
+    @pl.when(first)
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    s1_parts, s2_parts = [], []
+    for p in range(8):
+        xp = xs[:, :, :, p * ci : (p + 1) * ci]  # (tz+2, ty+2, xw, Ci)
+        taps = []
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    taps.append(
+                        xp[dz : dz + tz, dy : dy + ty, dx : dx + n, :]
+                    )
+        xim = jnp.concatenate(taps, axis=-1)  # (tz, ty, n, 27*Ci)
+        y = lax.dot_general(
+            xim,
+            w_ref[...],
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + b_ref[0].astype(jnp.float32)
+        out_ref[0, :, :, :, p * co : (p + 1) * co] = y.astype(out_dtype)
+        s1_parts.append(jnp.sum(y, axis=(0, 1, 2))[None])
+        s2_parts.append(jnp.sum(jnp.square(y), axis=(0, 1, 2))[None])
+    row = (pl.ds(b, 1), slice(None))
+    s1_ref[row] += jnp.concatenate(s1_parts, axis=1)
+    s2_ref[row] += jnp.concatenate(s2_parts, axis=1)
+
+
+def _pallas_dil2_forward(x, w, b):
+    """x (B, n, n, n, 8Ci) s2d; w (3,3,3,Ci,Co) reference dil-2
+    kernel; b (Co,). Returns (y (B,n,n,n,8Co), s1, s2 (B,8Co) f32)."""
+    bsz, n, _, _, cin = x.shape
+    ci, co = w.shape[3], w.shape[4]
+    cout = 8 * co
+    tz, ty = _pick_tile(n, cin, max(cout, cin))
+    xw = -(-(n + 2) // 8) * 8
+
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, xw - n - 1), (0, 0)))
+    wg = w.reshape(27 * ci, co)
+    b_all = (b if b is not None else jnp.zeros((co,), x.dtype)).astype(
+        jnp.float32
+    )
+    kernel = partial(_dil2_kernel, tz, ty, n, ci, co, x.dtype)
+
+    flops = 2 * bsz * n * n * n * 27 * cin * co
+    y, s1, s2 = pl.pallas_call(
+        kernel,
+        grid=(bsz, n // tz, n // ty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((27 * ci, co), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tz, ty, n, cout),
+                         lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, cout), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, cout), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n, n, n, cout), x.dtype),
+            jax.ShapeDtypeStruct((bsz, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tz + 2, ty + 2, xw, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * 2 * 2,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xpad, wg, b_all[None])
+    return y, s1, s2
+
+
+def _xla_dil2_composition(x, w, b):
+    """Polyphase XLA math for the dil-2 backward pass."""
+    from .conv import conv3d
+    from .s2d import from_polyphase, to_polyphase
+
+    xp = to_polyphase(x)
+    y = from_polyphase(conv3d(xp, w, b, padding=1))
+    yf = y.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(1, 2, 3))
+    s2 = jnp.sum(jnp.square(yf), axis=(1, 2, 3))
+    return y, s1, s2
+
+
+@jax.custom_vjp
+def dil2_conv_stats(x, w, b):
+    """Fused dilation-2 s2d conv + per-channel (sum, sum-of-squares).
+    Forward = Pallas kernel; backward = exact XLA polyphase
+    composition."""
+    return _pallas_dil2_forward(x, w, b)
+
+
+def _dil2_fwd(x, w, b):
+    return _pallas_dil2_forward(x, w, b), (x, w, b)
+
+
+def _dil2_bwd(res, cts):
+    x, w, b = res
+    _, vjp = jax.vjp(_xla_dil2_composition, x, w, b)
+    return vjp(tuple(cts))
+
+
+dil2_conv_stats.defvjp(_dil2_fwd, _dil2_bwd)
+
+
+def _xla_composition(x, w_all, b_all):
+    """Reference XLA math for the backward pass: pad-1 conv with the
+    (2,2,2) phase-stacked kernel, 8-way shifted slice + concat, stats."""
+    from .conv import conv3d
+
+    n = x.shape[1]
+    cout = w_all.shape[2]
+    co = cout // 8
+    w = w_all.reshape(2, 2, 2, *w_all.shape[1:])
+    y_full = conv3d(x, w, b_all, padding=1)
+    outs = []
+    for q in range(8):
+        a, bq, c = (q >> 2) & 1, (q >> 1) & 1, q & 1
+        outs.append(
+            y_full[:, a : a + n, bq : bq + n, c : c + n,
+                   q * co : (q + 1) * co]
+        )
+    y = jnp.concatenate(outs, axis=-1)
+    yf = y.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(1, 2, 3))
+    s2 = jnp.sum(jnp.square(yf), axis=(1, 2, 3))
+    return y, s1, s2
+
+
+@jax.custom_vjp
+def phased_conv_stats(x, w_all, b_all):
+    """Fused phased s2d conv + per-channel (sum, sum-of-squares).
+
+    Forward runs the Pallas kernel; gradients come from the exact XLA
+    composition (same math up to f32-vs-bf16 accumulation of the
+    statistics)."""
+    return _pallas_forward(x, w_all, b_all)
+
+
+def _fwd(x, w_all, b_all):
+    return _pallas_forward(x, w_all, b_all), (x, w_all, b_all)
+
+
+def _bwd(res, cts):
+    x, w_all, b_all = res
+    _, vjp = jax.vjp(_xla_composition, x, w_all, b_all)
+    return vjp(tuple(cts))
+
+
+phased_conv_stats.defvjp(_fwd, _bwd)

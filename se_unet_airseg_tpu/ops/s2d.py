@@ -207,6 +207,29 @@ def _phase_lift_tensor(a: int, b: int, c: int) -> np.ndarray:
     return m
 
 
+def phased_conv_weights(
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    in_splits: tuple | None = None,
+):
+    """Lift a dense (3,3,3,Ci,Co) kernel to the phase-stacked 2^3
+    block kernel: returns (w_all (2,2,2,8Ci,8Co), b_all (8Co,)) with
+    output channels q-major (q = phase) and, when `in_splits` is given,
+    input rows permuted for a PLAIN concat of s2d tensors."""
+    ci, co = w.shape[3], w.shape[4]
+    kernels = []
+    for a, bb, c in product(range(2), repeat=3):
+        m = jnp.asarray(_phase_lift_tensor(a, bb, c), w.dtype)
+        wq = jnp.einsum("ZYXpdef,defio->ZYXpio", m, w, precision=HP)
+        kernels.append(wq.reshape(2, 2, 2, 8 * ci, co))
+    w_all = jnp.concatenate(kernels, axis=-1)  # (2,2,2, 8Ci, 8Co)
+    if in_splits is not None:
+        perm = np.asarray(plain_to_interleaved_perm(tuple(in_splits)))
+        w_all = w_all[:, :, :, perm, :]
+    b_all = jnp.tile(b, 8) if b is not None else None
+    return w_all, b_all
+
+
 def conv3_s2d_phased(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -230,19 +253,8 @@ def conv3_s2d_phased(
     """
     from .conv import conv3d
 
-    ci, co = w.shape[3], w.shape[4]
-    # stack per-phase kernels along output channels, p-major
-    kernels = []
-    for a, bb, c in product(range(2), repeat=3):
-        m = jnp.asarray(_phase_lift_tensor(a, bb, c), w.dtype)
-        wq = jnp.einsum("ZYXpdef,defio->ZYXpio", m, w, precision=HP)
-        kernels.append(wq.reshape(2, 2, 2, 8 * ci, co))
-    w_all = jnp.concatenate(kernels, axis=-1)  # (2,2,2, 8Ci, 8Co)
-    if in_splits is not None:
-        perm = np.asarray(plain_to_interleaved_perm(tuple(in_splits)))
-        w_all = w_all[:, :, :, perm, :]
-    b_all = jnp.tile(b, 8) if b is not None else None
-
+    co = w.shape[4]
+    w_all, b_all = phased_conv_weights(w, b, in_splits)
     n = x.shape[1]
     y = conv3d(x, w_all, b_all, padding=1)  # (B, n+1, n+1, n+1, 8Co)
     outs = []
@@ -251,6 +263,28 @@ def conv3_s2d_phased(
             y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
         )
     return jnp.concatenate(outs, axis=-1)
+
+
+def instance_norm_from_stats(
+    y: jnp.ndarray,
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """InstanceNorm of an s2d tensor from precomputed per-channel
+    (sum, sum-of-squares) — the outputs of pallas_s2d.phased_conv_stats
+    — via the one-pass var = E[y^2] - E[y]^2 (f32 accumulation; the
+    fused kernel sums the pre-bf16-rounding f32 conv values)."""
+    b, d, h, w, c8 = y.shape
+    c = c8 // 8
+    n = d * h * w * 8
+    mean = jnp.sum(s1.reshape(b, 8, c), axis=1) / n  # (b, c)
+    ex2 = jnp.sum(s2.reshape(b, 8, c), axis=1) / n
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))[:, None, None, None, :]
+    shift8 = jnp.tile(mean * scale, (1, 8))[:, None, None, None, :]
+    return (y.astype(jnp.float32) * scale8 - shift8).astype(y.dtype)
 
 
 def grouped_pointwise_multi(

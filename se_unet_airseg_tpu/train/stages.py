@@ -110,15 +110,29 @@ def _init_state(cfg: StageConfig, stage: int):
     import jax
 
     opt, lr_fn = make_optimizer(base_lr=cfg.lr, milestones=cfg.milestones)
+    import jax.numpy as jnp
+
     if cfg.start_params is None:
         params = init_params(jax.random.key(cfg.seed), cfg.model_cfg)
     elif isinstance(cfg.start_params, str):
         params = load_params(cfg.start_params)
     else:
-        params = cfg.start_params
+        # COPY the caller's pytree: the train step donates its state,
+        # so adopting these arrays would delete the caller's buffers
+        # on the first step (stage hand-offs reuse stage-N params for
+        # pred generation and the next stage)
+        params = jax.tree.map(jnp.array, cfg.start_params)
     state = create_train_state(params, opt)
     step_fn = make_train_step(opt, cfg.model_cfg, stage=stage, mesh=cfg.mesh)
-    return state, step_fn, lr_fn
+    # the online-HM replay feeds batch-size-1 items (reference
+    # DataLoader(batch_size=1), train.py:470-478) — under a sharded
+    # mesh a B=1 batch cannot split over the data axis, so replay runs
+    # a replicated single-device step
+    replay_fn = (
+        step_fn if cfg.mesh is None
+        else make_train_step(opt, cfg.model_cfg, stage=stage, mesh=None)
+    )
+    return state, step_fn, replay_fn, lr_fn
 
 
 def _epoch_pass(state, step_fn, batches, rng, log_every=10, cache=None,
@@ -176,7 +190,7 @@ def train_stage1(cfg: StageConfig):
         cfg.file_path, cfg.data_root, cfg.file_root,
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
     )
-    state, step_fn, lr_fn = _init_state(cfg, 1)
+    state, step_fn, _, lr_fn = _init_state(cfg, 1)
     state, start_ep, _ = _auto_resume(cfg, state)
     rng = jax.random.key(cfg.seed)
     for ep in range(start_ep, cfg.epochs):
@@ -207,7 +221,7 @@ def train_stage2(cfg: StageConfig):
         cfg.file_path, cfg.data_root, cfg.file_root, cfg.pred_path,
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
     )
-    state, step_fn, lr_fn = _init_state(cfg, 2)
+    state, step_fn, replay_fn, lr_fn = _init_state(cfg, 2)
     scheduler = CurriculumScheduler()
     cache = OnlineCache(cfg.online_savepath)
     rng = jax.random.key(cfg.seed)
@@ -233,13 +247,19 @@ def train_stage2(cfg: StageConfig):
         # like the reference's DataLoader(batch_size=1) over per-crop
         # cache items (reference train.py:469-491, data.py:586-607)
         state = set_learning_rate(state, lr_fn(2 * ep + 1))
-        replay = OnlineCrops(cfg.online_savepath, rate=1.0)
+        rng, shuf = jax.random.split(rng)
+        replay = OnlineCrops(
+            cfg.online_savepath, rate=1.0,
+            shuffle_rng=np.random.default_rng(
+                int(jax.random.randint(shuf, (), 0, 2**31 - 1))
+            ),
+        )
         for item in replay:
             item.pop("name", None)
             batch = {k: v[None] if v.ndim == 4 else v[None] for k, v in item.items()}
             batch = {k: np.asarray(v, np.float32) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
-            state, _ = step_fn(state, batch, sub)
+            state, _ = replay_fn(state, batch, sub)
         td, bd, vr, vh = _validate(cfg, state.params, ep, stage=2)
         hist["td"].append(td)
         hist["bd"].append(bd)
@@ -265,7 +285,7 @@ def train_stage3(cfg: StageConfig):
         cfg.br_skel_path, cfg.br_weight_path,
         batch_size=cfg.batch_size, cube=cfg.cube, aug=cfg.aug, seed=cfg.seed,
     )
-    state, step_fn, lr_fn = _init_state(cfg, 3)
+    state, step_fn, replay_fn, lr_fn = _init_state(cfg, 3)
     scheduler = Stage3Scheduler()
     cache = OnlineCache(cfg.online_savepath, with_skel=True)
     rng = jax.random.key(cfg.seed)
@@ -288,12 +308,18 @@ def train_stage3(cfg: StageConfig):
             n_volumes=len(dataset), writer=writer,
         )
         state = set_learning_rate(state, lr_fn(2 * ep + 1))
-        replay = OnlineCrops(cfg.online_savepath, rate=1.0, with_skel=True)
+        rng, shuf = jax.random.split(rng)
+        replay = OnlineCrops(
+            cfg.online_savepath, rate=1.0, with_skel=True,
+            shuffle_rng=np.random.default_rng(
+                int(jax.random.randint(shuf, (), 0, 2**31 - 1))
+            ),
+        )
         for item in replay:
             item.pop("name", None)
             batch = {k: np.asarray(v, np.float32)[None] for k, v in item.items()}
             rng, sub = jax.random.split(rng)
-            state, _ = step_fn(state, batch, sub)
+            state, _ = replay_fn(state, batch, sub)
         td, bd, vr, vh = _validate(cfg, state.params, ep, stage=3)
         hist["td"].append(td)
         hist["bd"].append(bd)

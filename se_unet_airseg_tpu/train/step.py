@@ -136,6 +136,13 @@ def make_train_step(
     """
 
     apply_fn = apply_fast if fast else se_unet_apply
+    if mesh is not None and cfg.use_pallas is None:
+        # the fused Pallas kernels are single-device programs; under a
+        # sharded mesh the partitioner would have to gather around
+        # them — force the (equivalent, tested) XLA composition
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, use_pallas=False)
 
     def loss_fn(params, batch, rng):
         en, de = apply_fn(

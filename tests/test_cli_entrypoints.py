@@ -14,13 +14,17 @@ from se_unet_airseg_tpu.models.se_unet import SEUNetConfig
 from test_train_integration import make_tube_case
 
 
-def _raw_case(rng, shape=(64, 64, 64)):
-    """A raw (uncropped) CT in true HU with lungs dark enough for the
-    lung-field extraction to find a body + cavity."""
+def _raw_case(rng, shape=(96, 96, 48)):
+    """A raw (uncropped) CT in true HU with lungs dark enough — and
+    LARGE enough (> 2000 px per slice, the reference get_l area
+    threshold, util.py:140-148) — for the lung-field extraction to
+    find a body + two cavities."""
     hu = np.full(shape, -1000.0, np.float32)  # air
-    hu[8:56, 8:56, :] = 40.0  # body
-    hu[16:48, 16:30, :] = -880.0  # left lung
-    hu[16:48, 34:48, :] = -880.0  # right lung
+    # lung_fields slices along the LAST axis; body + cavities live in
+    # the leading two dims
+    hu[4:92, 4:92, :] = 40.0  # body
+    hu[12:82, 10:44, :] = -880.0  # left lung: 70x34 = 2380 px/slice
+    hu[12:82, 52:86, :] = -880.0  # right lung
     hu += rng.normal(0, 5, shape).astype(np.float32)
     return hu
 
@@ -34,8 +38,8 @@ def test_preprocess_cli(tmp_path):
     hu = _raw_case(rng)
     write_nifti(str(tmp_path / "BEFORE_DATA" / "data" / "CASE001.nii.gz"),
                 hu.astype(np.int16))
-    mask = np.zeros((64, 64, 64), np.uint8)
-    mask[20:40, 20:26, 10:50] = 1
+    mask = np.zeros((96, 96, 48), np.uint8)
+    mask[20:40, 20:26, 10:40] = 1
     write_nifti(str(tmp_path / "BEFORE_DATA" / "mask" / "CASE001.nii.gz"), mask)
 
     main([

@@ -164,12 +164,20 @@ def test_stage3_end_to_end(synth_env):
 
     # ---- engineered pred_2: the GT tube with a 4-voxel axial gap ----
     pred2_dir = os.path.join(fr, "pred_2")
+    pred1_dir = os.path.join(fr, "pred_1")
     os.makedirs(pred2_dir, exist_ok=True)
+    os.makedirs(pred1_dir, exist_ok=True)
     for n in synth_env["names"]:
         mask = read_nifti(os.path.join(dr, "mask", n + "mask_cut.nii.gz")).array
         broken = (mask > 0).astype(np.uint8)
         broken[:, :, 30:34] = 0  # cut through the main tube
         _write(os.path.join(pred2_dir, n + ".nii.gz"), broken[None])
+        # validation's hard-val mask reads pred_1 at every stage
+        # (reference train.py:654-659, 674-675) — keep the test
+        # hermetic when stage-1/2 tests were deselected
+        if not os.path.exists(os.path.join(pred1_dir, n + ".nii.gz")):
+            _write(os.path.join(pred1_dir, n + ".nii.gz"),
+                   (mask > 0).astype(np.uint8)[None])
 
     # ---- break priors (reference weight_br.py:113-177) ----
     br_w = os.path.join(fr, "BR_weight")
