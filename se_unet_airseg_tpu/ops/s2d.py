@@ -117,16 +117,22 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     b, d, h, w, c8 = x.shape
     c = c8 // 8
     n = d * h * w * 8
+    # one-pass statistics: var = E[x^2] - E[x]^2 in f32. The
+    # mean-subtracted two-pass form forces XLA to materialize a full
+    # f32 copy of x fused with whatever transpose produced it (the
+    # dil-2 polyphase path paid ~35 ms/iter for that); both reduces
+    # here fuse convert+square into one read of the bf16 tensor.
     s1 = jnp.sum(x, axis=(1, 2, 3), dtype=jnp.float32)  # (b, c8)
-    mean = jnp.sum(s1.reshape(b, 8, c), axis=1) / n  # (b, c)
-    mean8 = jnp.tile(mean, (1, 8))[:, None, None, None, :]
-    d2 = jnp.sum(
-        jnp.square(x.astype(jnp.float32) - mean8), axis=(1, 2, 3)
+    s2 = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3)
     )  # (b, c8)
-    var = jnp.sum(d2.reshape(b, 8, c), axis=1) / n
+    mean = jnp.sum(s1.reshape(b, 8, c), axis=1) / n  # (b, c)
+    ex2 = jnp.sum(s2.reshape(b, 8, c), axis=1) / n
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     scale = lax.rsqrt(var + eps)  # (b, c)
     scale8 = jnp.tile(scale, (1, 8))[:, None, None, None, :]
-    return ((x.astype(jnp.float32) - mean8) * scale8).astype(x.dtype)
+    shift8 = jnp.tile(mean * scale, (1, 8))[:, None, None, None, :]
+    return (x.astype(jnp.float32) * scale8 - shift8).astype(x.dtype)
 
 
 def se_gate_s2d(x: jnp.ndarray, w_se: jnp.ndarray) -> jnp.ndarray:
