@@ -105,3 +105,26 @@ def test_upsample_to_s2d_matches():
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
             err_msg=f"scale {scale}",
         )
+
+
+def test_instance_norm_s2d_one_pass_precision():
+    """The one-pass var = E[x^2] - E[x]^2 formulation must stay
+    accurate even when the mean dominates the spread (the cancellation
+    regime) — f32 accumulation gives ~7 digits, and mean/std ratios in
+    conv activations stay far below the ~1e3 that would break it."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from se_unet_airseg_tpu.ops.s2d import instance_norm_s2d
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((1, 8, 8, 8, 16)) * 0.1 + 50.0).astype(
+        np.float32
+    )  # mean/std = 500
+    y = np.asarray(instance_norm_s2d(jnp.asarray(x)))
+    # reference two-pass in f64
+    xr = x.reshape(1, 8, 8, 8, 8, 2).astype(np.float64)
+    m = xr.mean(axis=(1, 2, 3, 4), keepdims=True)
+    v = ((xr - m) ** 2).mean(axis=(1, 2, 3, 4), keepdims=True)
+    ref = ((xr - m) / np.sqrt(v + 1e-5)).reshape(x.shape)
+    np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2e-2)
