@@ -14,7 +14,7 @@ Mirrors the reference's three inference consumers:
     exists).
   * `network_prediction` — reference prediction.py:51-154: deployment
     path, EVAL mode, DTI(0.5,0.4), border suppression, largest CC,
-    `*_pred_mask.nii.gz` (STL export pending the C++ marching-cubes).
+    `*_pred_mask.nii.gz` plus the skeleton-centered STL export.
 
 All volume math (windowing, tiling, forward, overlap average,
 double-threshold packing) runs on device; only 2-bit trit fields are
@@ -91,14 +91,27 @@ def validate(
     rng=None,
     cube: int = 128,
     step: int = 64,
+    runner: SlidingWindowRunner | None = None,
 ):
     """Returns (TD_mean, BD_mean, val_loss_random, val_loss_hard) —
-    the curriculum scheduler's inputs (reference train.py:631-738)."""
+    the curriculum scheduler's inputs (reference train.py:631-738).
+
+    Pass a `runner` (reused across epochs via `set_params`) to avoid
+    re-tracing the whole-volume program every epoch; shapes don't
+    change between epochs, only the parameters do.
+    """
     import jax
 
-    runner = SlidingWindowRunner(params, cfg, train_mode=True, cube=cube, step=step)
+    if runner is None:
+        runner = SlidingWindowRunner(params, cfg, train_mode=True, cube=cube, step=step)
+    else:
+        runner.set_params(params)
     if rng is None:
-        rng = jax.random.key(0)
+        # train-mode validation draws FRESH DropLayer noise each epoch,
+        # like the reference's per-call torch RNG (train.py:632): fold
+        # the epoch in so best-epoch selection ranks under independent,
+        # not correlated, dropout realizations
+        rng = jax.random.fold_in(jax.random.key(0), epoch)
     metrics, rand_dice, hard_dice = [], [], []
     for i, name in enumerate(names):
         img, label = _load_case(data_root, name)

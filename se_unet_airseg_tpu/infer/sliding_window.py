@@ -108,7 +108,6 @@ class SlidingWindowRunner:
         self.train_mode = train_mode
         self.mesh = mesh
         self.apply_fn = apply_fast if fast else se_unet_apply
-        self._step_fn = self._build_step()
         self._finalize_prob = jax.jit(lambda p, c: p / jnp.maximum(c, 1.0))
         self._finalize_trits = jax.jit(self._trit_pack, static_argnums=(2, 3))
         # whole-volume programs, cached per (padded_shape, n_batches):
@@ -116,8 +115,13 @@ class SlidingWindowRunner:
         # (each dispatch costs ~50 ms over tunneled hosts)
         self._volume_fns: dict = {}
 
-    def _build_step(self):
-        return jax.jit(self._step_fn_logic(), donate_argnums=(2, 3))
+    def set_params(self, params) -> "SlidingWindowRunner":
+        """Swap the parameter pytree WITHOUT invalidating the compiled
+        whole-volume programs (params enter them as a runtime argument).
+        Lets the per-epoch validation of stages 2/3 reuse one runner
+        instead of re-tracing the volume program every epoch."""
+        self.params = params
+        return self
 
     def _step_fn_logic(self):
         cube, batch = self.cube, self.batch

@@ -60,16 +60,21 @@ def _vmem_estimate(tz, ty, n, cin, cout_blk, out_itemsize=2) -> int:
     return xs + 2 * acc + xsl + out2 + w2
 
 
-def _pick_tile(n: int, cin: int, cout_blk: int) -> tuple[int, int]:
+def _pick_tile(n: int, cin: int, cout_blk: int,
+               estimate=None) -> tuple[int, int] | None:
     """(tz, ty) dividing n with the largest tile volume whose scoped
-    VMEM estimate fits the 16 MB limit with headroom."""
+    VMEM estimate fits the 16 MB limit with headroom, or None when no
+    candidate divides n within budget (odd extents from non-default
+    --cube values): callers then fall back to the XLA composition
+    rather than launch a grid that silently underwrites the output."""
     budget = 11 * 1024 * 1024
-    best, best_vol = (2, 2), 0
+    est = estimate or _vmem_estimate
+    best, best_vol = None, 0
     for tz in (2, 4, 8, 16):
         for ty in (2, 4, 8, 16, 32):
             if n % tz or n % ty:
                 continue
-            if _vmem_estimate(tz, ty, n, cin, cout_blk) <= budget:
+            if est(tz, ty, n, cin, cout_blk) <= budget:
                 if tz * ty > best_vol:
                     best, best_vol = (tz, ty), tz * ty
     return best
@@ -79,9 +84,8 @@ def _pick_nsplit(n: int, cin: int, cout: int) -> int:
     """Smallest output-channel split (1/2/4/8 blocks) whose best tile
     fits the VMEM budget."""
     for ncb in (1, 2, 4, 8):
-        tz, ty = _pick_tile(n, cin, cout // ncb)
-        if _vmem_estimate(tz, ty, n, cin, cout // ncb) <= 11 * 1024 * 1024 \
-                and tz * ty > 4:
+        tile = _pick_tile(n, cin, cout // ncb)
+        if tile is not None and tile[0] * tile[1] > 4:
             return ncb
     return 8
 
@@ -186,7 +190,10 @@ def _pallas_forward(x, w_all, b_all):
     ncb = _pick_nsplit(n, cin, cout)
     cblk = cout // ncb
     ppb = 8 // ncb
-    tz, ty = _pick_tile(n, cin, cblk)
+    tile = _pick_tile(n, cin, cblk)
+    if tile is None:  # no (tz, ty) divides n within the VMEM budget
+        return _xla_composition(x, w_all, b_all)
+    tz, ty = tile
     xw = _pad8(n + 2)  # x extent, sublane-aligned
 
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, xw - n - 1), (0, 0)))
@@ -291,7 +298,17 @@ def _pallas_dil2_forward(x, w, b):
     bsz, n, _, _, cin = x.shape
     ci, co = w.shape[3], w.shape[4]
     cout = 8 * co
-    tz, ty = _pick_tile(n, cin, max(cout, cin))
+
+    def _dil2_vmem(tz, ty, n_, cin_, cblk_):
+        # the phased estimate plus the (tz, ty, n, 27*Ci) im2col strip
+        # each sub-position materializes in VMEM
+        return (_vmem_estimate(tz, ty, n_, cin_, cblk_)
+                + tz * ty * n_ * 27 * ci * 2)
+
+    tile = _pick_tile(n, cin, max(cout, cin), estimate=_dil2_vmem)
+    if tile is None:
+        return _xla_dil2_composition(x, w, b)
+    tz, ty = tile
     xw = -(-(n + 2) // 8) * 8
 
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, xw - n - 1), (0, 0)))

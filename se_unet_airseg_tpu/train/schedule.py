@@ -1,9 +1,10 @@
-"""LR schedule and the adaptive curriculum schedulers.
+"""Adaptive curriculum schedulers (+ the MultiStepLR re-export).
 
-`multistep_lr` mirrors torch MultiStepLR as used by all three stages
-(milestones [60,90] stage 1 — reference train.py:571-572; [20,40]
-stages 2/3 with `step()` called twice per epoch — reference
-train.py:389-390, 466, 493).
+`multistep_lr` (defined in train.step, re-exported here) mirrors torch
+MultiStepLR as used by all three stages: milestones (60, 90) stage 1 —
+reference train.py:571-572; (40, 60) stages 2/3 with `step()` called
+TWICE per epoch — reference train.py:387-390, 466+493 — so the
+effective decay epochs are 20/30 there.
 
 The curriculum schedulers reproduce the reference's adaptive sampling
 state machines exactly (SURVEY.md §7 hard part 5):
@@ -26,15 +27,7 @@ import dataclasses
 
 import numpy as np
 
-
-def multistep_lr(base_lr: float, milestones: tuple[int, ...], gamma: float):
-    """Returns lr(epoch) with torch MultiStepLR semantics."""
-
-    def lr(epoch: int) -> float:
-        k = sum(1 for m in milestones if epoch >= m)
-        return base_lr * (gamma ** k)
-
-    return lr
+from .step import multistep_lr  # noqa: F401  (single implementation)
 
 
 @dataclasses.dataclass

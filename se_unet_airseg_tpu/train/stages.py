@@ -168,13 +168,26 @@ def _epoch_pass(state, step_fn, batches, rng, log_every=10, cache=None,
     return state, rng, losses
 
 
-def _validate(cfg: StageConfig, params, epoch: int, stage: int, dti=False):
+def _validate(cfg: StageConfig, params, epoch: int, stage: int, dti=False,
+              runner=None):
     from ..infer.engine import validate
 
     names = load_json_file(cfg.file_path, "0", ("val",))
     return validate(
         params, cfg.model_cfg, names, cfg.data_root, cfg.file_root,
         epoch, cfg.log_savepath, dti=dti, stage=stage,
+        cube=cfg.cube, step=cfg.cube // 2, runner=runner,
+    )
+
+
+def _make_val_runner(cfg: StageConfig, params):
+    """One validation runner per stage: per-epoch validation swaps
+    params into it (SlidingWindowRunner.set_params) instead of
+    re-building — and re-tracing — the whole-volume program."""
+    from ..infer.sliding_window import SlidingWindowRunner
+
+    return SlidingWindowRunner(
+        params, cfg.model_cfg, train_mode=True,
         cube=cfg.cube, step=cfg.cube // 2,
     )
 
@@ -231,6 +244,7 @@ def train_stage2(cfg: StageConfig):
     if meta:
         scheduler.hard_ratio = meta.get("hard_ratio", scheduler.hard_ratio)
         hist = meta.get("hist", hist)
+    val_runner = _make_val_runner(cfg, state.params)
     for ep in range(start_ep, cfg.epochs):
         cache.reset()
         dataset.hard_ratio = scheduler.hard_ratio
@@ -260,7 +274,8 @@ def train_stage2(cfg: StageConfig):
             batch = {k: np.asarray(v, np.float32) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
             state, _ = replay_fn(state, batch, sub)
-        td, bd, vr, vh = _validate(cfg, state.params, ep, stage=2)
+        td, bd, vr, vh = _validate(cfg, state.params, ep, stage=2,
+                                   runner=val_runner)
         hist["td"].append(td)
         hist["bd"].append(bd)
         hist["tr"].append(vr)
@@ -296,6 +311,7 @@ def train_stage3(cfg: StageConfig):
         scheduler.hard_ratio = meta.get("hard_ratio", scheduler.hard_ratio)
         scheduler.break_ratio = meta.get("break_ratio", scheduler.break_ratio)
         hist = meta.get("hist", hist)
+    val_runner = _make_val_runner(cfg, state.params)
     for ep in range(start_ep, cfg.epochs):
         cache.reset()
         dataset.hard_ratio = scheduler.hard_ratio
@@ -320,7 +336,8 @@ def train_stage3(cfg: StageConfig):
             batch = {k: np.asarray(v, np.float32)[None] for k, v in item.items()}
             rng, sub = jax.random.split(rng)
             state, _ = replay_fn(state, batch, sub)
-        td, bd, vr, vh = _validate(cfg, state.params, ep, stage=3)
+        td, bd, vr, vh = _validate(cfg, state.params, ep, stage=3,
+                                   runner=val_runner)
         hist["td"].append(td)
         hist["bd"].append(bd)
         hist["tr"].append(vr)

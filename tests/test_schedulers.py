@@ -9,7 +9,7 @@ from se_unet_airseg_tpu.train.schedule import (
 
 
 def test_multistep_lr():
-    lr = multistep_lr(1e-4, (60, 90), 0.1)
+    lr = lambda ep: multistep_lr(1e-4, (60, 90), 0.1, ep)
     assert lr(0) == 1e-4
     assert lr(59) == 1e-4
     assert abs(lr(60) - 1e-5) < 1e-12

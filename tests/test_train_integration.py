@@ -221,6 +221,56 @@ def test_stage3_end_to_end(synth_env):
     synth_env["stage3_params"] = state.params
 
 
+def test_validation_rng_fresh_per_epoch_and_runner_reuse(synth_env, tmp_path):
+    """VERDICT r2 items 7+8: train-mode validation draws FRESH DropLayer
+    noise each epoch (the reference draws per-call torch RNG,
+    train.py:632 — epochs must rank under independent noise), and a
+    shared runner is reused across epochs without re-tracing the
+    whole-volume program."""
+    import jax
+
+    from se_unet_airseg_tpu.infer import engine as eng
+    from se_unet_airseg_tpu.infer.sliding_window import SlidingWindowRunner
+    from se_unet_airseg_tpu.models.se_unet import init_params
+
+    names = [synth_env["names"][2]]
+
+    class SpyRunner:
+        def __init__(self):
+            self.keys = []
+
+        def set_params(self, params):
+            return self
+
+        def predict_trits(self, vol, *, h_thresh, l_thresh, rng, hu_shift):
+            self.keys.append(rng)
+            return np.zeros(vol.shape, np.uint8)
+
+    spy = SpyRunner()
+    for epoch in (0, 0, 1):
+        eng.validate(
+            None, SEUNetConfig(), names, synth_env["data_root"],
+            synth_env["file_root"], epoch, str(tmp_path / "LOG.txt"),
+            stage=1, runner=spy,
+        )
+    k0a, k0b, k1 = [np.asarray(jax.random.key_data(k)) for k in spy.keys]
+    assert np.array_equal(k0a, k0b), "same epoch must replay the same noise"
+    assert not np.array_equal(k0a, k1), "new epoch must draw fresh noise"
+
+    # real-runner reuse: two epochs share ONE compiled volume program
+    params = init_params(jax.random.key(0), SEUNetConfig())
+    runner = SlidingWindowRunner(
+        params, SEUNetConfig(), train_mode=True, cube=32, step=16, batch=4
+    )
+    for epoch in (0, 1):
+        eng.validate(
+            params, SEUNetConfig(), names, synth_env["data_root"],
+            synth_env["file_root"], epoch, str(tmp_path / "LOG2.txt"),
+            stage=1, runner=runner,
+        )
+    assert len(runner._volume_fns) == 1
+
+
 def test_run_test_contract(synth_env):
     """run_test (reference test.py:67-234) on the synthetic test split:
     nii.gz per case in test_result/<stage>/, aggregate line appended."""
