@@ -48,6 +48,17 @@ _NB26 = [
     for dz, dy, dx in product((-1, 0, 1), repeat=3)
     if (dz, dy, dx) != (0, 0, 0)
 ]
+# the reference's 26-neighbor enumeration order (ours_skel_parse.py:
+# 46-52: the 8 same-z offsets, then the 9 at z-1, then the 9 at z+1).
+# Queue order decides which points join which branch at junctions, so
+# branch decomposition parity requires this exact order.
+_NB26_REF = [
+    (-1, -1, 0), (-1, 0, 0), (-1, 1, 0), (0, -1, 0), (0, 1, 0),
+    (1, -1, 0), (1, 0, 0), (1, 1, 0), (-1, -1, -1), (-1, 0, -1),
+    (-1, 1, -1), (0, -1, -1), (0, 0, -1), (0, 1, -1), (1, -1, -1),
+    (1, 0, -1), (1, 1, -1), (-1, -1, 1), (-1, 0, 1), (-1, 1, 1),
+    (0, -1, 1), (0, 0, 1), (0, 1, 1), (1, -1, 1), (1, 0, 1), (1, 1, 1),
+]
 _STRUCT2D = np.ones((3, 3), bool)
 
 
@@ -72,49 +83,90 @@ class Branch:
 def subsection(points: np.ndarray) -> list[Branch]:
     """Split a skeleton point cloud into branches at junction voxels.
 
-    `points` is (N, 3); the walk seeds at the first minimum-z point.
+    Faithful reimplementation of the reference walk (reference
+    ours_skel_parse.py:30-164, called with debug=1) — branch membership
+    AND creation indices must match because merging's length threshold
+    and grade's anatomical codes consume them:
+
+      * seeds at the FIRST minimum-z row of `points` (callers pass the
+        z-argsorted cloud, so row order is the reference's);
+      * neighbors enumerate in the `_NB26_REF` order;
+      * a point with >= 3 skeleton neighbors (visited or not) ends the
+        branch; its unvisited neighbors become new start nodes;
+      * when a start node has several unvisited neighbors, neighbors
+        1.. walk first (each sibling's member list ACCUMULATES onto the
+        previous sibling's — reference behavior), neighbor 0 walks last
+        with a fresh member list (the debug=1 reset), and the index
+        counter follows the reference's quirky arithmetic (4+ siblings
+        skip an index);
+      * queue entries are not deduplicated: a point reachable from two
+        predecessors is processed twice and lands in `member` twice —
+        branch "length" counts these duplicates, as in the reference.
     """
     pts = set(map(tuple, points.tolist()))
-    seed = tuple(points[int(np.argmin(points[:, 2]))].tolist())
-
-    def sk_neighbors(p):
-        return [
-            (p[0] + d[0], p[1] + d[1], p[2] + d[2])
-            for d in _NB26
-            if (p[0] + d[0], p[1] + d[1], p[2] + d[2]) in pts
-        ]
+    zmin = points[:, 2].min()
+    seed_row = int(np.nonzero(points[:, 2] == zmin)[0][0])
+    seed = tuple(points[seed_row].tolist())
 
     visited = {seed}
-    queue: deque = deque([(seed, 0)])
+    startnode: deque = deque([(seed, 0)])
     branches: list[Branch] = []
+    branchn = 0
 
-    while queue:
-        start, father = queue.popleft()
-        conts = [n for n in sk_neighbors(start) if n not in visited]
-        if not conts:
-            branches.append(Branch(len(branches) + 1, start, [], father))
-            continue
-        for first in conts:
-            idx = len(branches) + 1
-            br = Branch(idx, start, [], father)
-            walk: deque = deque([first])
-            while walk:
-                cur = walk.popleft()
-                if cur in visited:
-                    continue
-                visited.add(cur)
-                nbs = sk_neighbors(cur)
-                unv = [n for n in nbs if n not in visited]
-                if len(nbs) < 3:
-                    br.member.append(cur)
-                    walk.extend(unv)
-                else:
-                    br.end = cur
-                    for n in unv:
-                        visited.add(n)
-                        queue.append((n, idx))
-                    break
-            branches.append(br)
+    def walk_branch(first, member, index):
+        """Walk one branch from `first`; mutates `member` in place and
+        marks visits. Returns (end, extends) where extends are the
+        junction's unvisited neighbors (already marked visited)."""
+        queue: deque = deque([first])
+        while queue:
+            cur = queue[0]
+            count = 0
+            fresh = []
+            for d in _NB26_REF:
+                nb = (cur[0] + d[0], cur[1] + d[1], cur[2] + d[2])
+                if nb in pts:
+                    count += 1
+                    if nb not in visited:
+                        queue.append(nb)
+                        fresh.append(nb)
+            visited.add(cur)
+            if count < 3:
+                member.append(cur)
+            else:
+                for nb in fresh:
+                    visited.add(nb)
+                    startnode.append((nb, index))
+                return cur
+            queue.popleft()
+        return None
+
+    while startnode:
+        start, father = startnode[0]
+        branchn += 1
+        linkstack = [
+            (start[0] + d[0], start[1] + d[1], start[2] + d[2])
+            for d in _NB26_REF
+            if (start[0] + d[0], start[1] + d[1], start[2] + d[2]) in pts
+            and (start[0] + d[0], start[1] + d[1], start[2] + d[2])
+            not in visited
+        ]
+        member: list = []
+        if len(linkstack) > 1:
+            for l in range(1, len(linkstack)):
+                branchn = branchn + l - 1
+                br = Branch(branchn, start, [], father)
+                end = walk_branch(linkstack[l], member, branchn)
+                br.member = list(member)
+                br.end = end
+                branches.append(br)
+            branchn += 1
+            member = []  # the reference's debug=1 reset
+        br = Branch(branchn, start, [], father)
+        end = walk_branch(linkstack[0], member, branchn) if linkstack else None
+        br.member = list(member)
+        br.end = end
+        branches.append(br)
+        startnode.popleft()
     return branches
 
 
@@ -137,23 +189,35 @@ def merging(branches: list[Branch], len_thre: int) -> list[Branch]:
         cut.add(i)
     branches = [b for i, b in enumerate(branches) if i not in cut]
 
-    # phase 2: collapse single-child chains
+    # phase 2: collapse single-child chains (reference
+    # ours_skel_parse.py:444-481). Two reference behaviors matter for
+    # branch-count parity and are kept exactly:
+    #   * singles are processed in REVERSED order, so a chain
+    #     A -> B -> C collapses fully into A (C glues into B first,
+    #     then B-with-C glues into A);
+    #   * the first entry of np.where(child_num == 1) is dropped
+    #     unconditionally — usually the virtual father 0, but when the
+    #     root was absorbed in phase 1 it silently drops a real single.
     if not branches:
         return branches
-    child_count: dict[int, int] = {}
+    child_num = np.zeros(branches[-1].index, dtype=int)
     for b in branches:
-        child_count[b.father] = child_count.get(b.father, 0) + 1
-    # every real branch with exactly one child collapses (the reference
-    # excludes only the virtual father-index 0, which is not a branch)
-    singles = [b for b in branches if child_count.get(b.index, 0) == 1]
-    cut_idx: set[int] = set()
-    remap: list[tuple[int, int]] = []  # (child_index -> parent_index)
-    for parent in singles:
-        if parent.index in {branches[i].index for i in cut_idx}:
-            continue
-        for i, child in enumerate(branches):
-            if child.father != parent.index or i in cut_idx:
+        if b.father < len(child_num):
+            child_num[b.father] += 1
+    single = list(np.where(child_num == 1)[0])[1:]
+    single_pos = [
+        i for s in single for i, b in enumerate(branches) if b.index == s
+    ]
+    cut_pos: set[int] = set()
+    remap: list[tuple[int, int]] = []  # (parent_index, child_index)
+    for s in reversed(range(len(single_pos))):
+        parent = branches[single_pos[s]]
+        for i in reversed(range(len(branches))):
+            child = branches[i]
+            if child.father != parent.index:
                 continue
+            remap.append((parent.index, child.index))
+            cut_pos.add(i)
             glue = [parent.end] if parent.end is not None else []
             glue.append(child.start)
             glue.extend(child.member)
@@ -163,14 +227,13 @@ def merging(branches: list[Branch], len_thre: int) -> list[Branch]:
                 parent.end = glue[-1]
                 glue = glue[:-1]
             parent.member = parent.member + glue
-            remap.append((child.index, parent.index))
-            cut_idx.add(i)
-            break
-    for child_idx, parent_idx in reversed(remap):
+    # reparent grandchildren in the same (reversed-single) order the
+    # reference's second loop runs, so chains re-route transitively
+    for parent_idx, child_idx in remap:
         for b in branches:
             if b.father == child_idx:
                 b.father = parent_idx
-    return [b for i, b in enumerate(branches) if i not in cut_idx]
+    return [b for i, b in enumerate(branches) if i not in cut_pos]
 
 
 def grade(branches: list[Branch]) -> list[dict]:
@@ -300,7 +363,9 @@ def smooth_points(pts: np.ndarray) -> np.ndarray:
             if abs(cur[k] - out[i - 1][k]) > 1:
                 cur[k] = out[i - 1][k] + np.sign(cur[k] - out[i - 1][k])
         out[i] = cur
-    out = out[np.argsort(out[:, 2], kind="stable")]
+    # default (unstable) argsort: the tie order feeds the keep-first-
+    # per-z dedup below, exactly as in the reference (ours_skel_parse.py:294)
+    out = out[np.argsort(out[:, 2])]
     # dedup by z (keep first per z), reverse, re-enforce continuity
     uniq, last_z = [], None
     for pt in out:
@@ -405,17 +470,24 @@ class TopologyTree:
         mask occupies a fraction of the 512^3 volume) — identical
         result, far less voxel traffic than the reference's full-volume
         passes."""
+        from ..pipeline.preprocess import largest_cc_midslice_fallback
+
         sl = self._bbox()
         crop = self.label[sl]
         vol = ndimage.binary_fill_holes(ndimage.binary_dilation(crop))
         vol = ndimage.binary_closing(vol)
-        vol = largest_component(vol.astype(np.uint8))
-        vol = ndimage.binary_fill_holes(vol).astype(np.uint8)
+        # maximum_3d semantics: largest CC with 2nd-largest mid-slice
+        # fallback + fill holes (reference sub() calls maximum_3d,
+        # ours_skel_parse.py:580 -> util.py:58-75)
+        vol = largest_cc_midslice_fallback(vol.astype(np.uint8))
         skel_c = skeletonize_3d(vol)
         skel = np.zeros(self.label.shape, np.uint8)
         skel[sl] = skel_c
         B = np.argwhere(skel != 0)
-        B = B[B[:, 2].argsort(kind="stable")]
+        # UNSTABLE argsort like the reference (ours_skel_parse.py:582):
+        # the tie order among equal-z rows decides the walk seed and the
+        # branch decomposition, so the sort kind is part of the contract
+        B = B[B[:, 2].argsort()]
         self.origin = B.mean(axis=0)
         if self.order == 1:
             # flip z so the walk seeds at the trachea; row order stays
