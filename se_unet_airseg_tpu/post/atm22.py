@@ -29,27 +29,60 @@ _CROSS3 = ndimage.generate_binary_structure(3, 1)
 
 def largest_component_6(mask: np.ndarray) -> np.ndarray:
     """Largest 6-connected component + fill holes (reference
-    atm22_skel_parse.py:70-80)."""
-    labels, n = connected_components(mask.astype(np.uint8), 6)
+    atm22_skel_parse.py:70-80).
+
+    Runs on the foreground bounding box (margin 2): identical result —
+    every component lives inside the bbox, and a hole is enclosed by
+    foreground so the crop's zero border stays connected to the crop
+    boundary — at a fraction of the 512^3 voxel traffic (CC 6 s -> ~1 s,
+    fill_holes 11 s -> ~2 s on CASE073)."""
+    idx = np.argwhere(mask)
+    if idx.size == 0:
+        return np.zeros(mask.shape, np.uint8)
+    lo = np.maximum(idx.min(axis=0) - 2, 0)
+    hi = np.minimum(idx.max(axis=0) + 3, mask.shape)
+    sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+    crop = (mask[sl] > 0).astype(np.uint8)
+    labels, n = connected_components(crop, 6)
     if n == 0:
         return np.zeros(mask.shape, np.uint8)
     counts = component_counts(labels, n)
     best = labels == int(np.argmax(counts)) + 1
-    return ndimage.binary_fill_holes(best).astype(np.uint8)
+    out = np.zeros(mask.shape, np.uint8)
+    out[sl] = ndimage.binary_fill_holes(best)
+    return out
 
 
 def skeleton_parsing(skeleton: np.ndarray):
     """Cut junction voxels and label skeleton segments (reference
-    atm22_skel_parse.py:83-101)."""
-    sk = (skeleton != 0).astype(np.float32)
-    filtered = ndimage.convolve(sk, _FULL3.astype(np.float32)) * sk
-    parse = sk.copy()
-    parse[filtered > 3] = 0
+    atm22_skel_parse.py:83-101).
+
+    The junction test (3^3 neighbor count > 3, center included) only
+    matters AT skeleton voxels, so the count is gathered sparsely at
+    the ~10^4 skeleton coordinates instead of convolving the dense
+    volume (3.2 s -> ~0.1 s); small-fragment removal is one LUT gather
+    instead of np.isin (3.9 s -> ~0.3 s). Label order (scipy raster
+    order) is untouched — branch ids feed the refinement sequence the
+    298-branch CASE073 parity depends on."""
+    sk = (skeleton != 0)
+    coords = np.argwhere(sk)
+    pad = np.pad(sk, 1).astype(np.uint8)
+    cz, cy, cx = coords[:, 0] + 1, coords[:, 1] + 1, coords[:, 2] + 1
+    count = np.zeros(len(coords), np.int32)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                count += pad[cz + dz, cy + dy, cx + dx]
+    parse = sk.astype(np.float32)
+    junc = coords[count > 3]  # count includes the center (reference conv)
+    parse[junc[:, 0], junc[:, 1], junc[:, 2]] = 0
     cd, num = ndimage.label(parse, structure=_FULL3)
     counts = np.bincount(cd.reshape(-1))
-    small = np.where(counts[1:] < 5)[0] + 1
-    if small.size:
-        parse[np.isin(cd, small)] = 0
+    small = counts[1:] < 5
+    if small.any():
+        keep = np.ones(num + 1, parse.dtype)
+        keep[1:][small] = 0
+        parse *= keep[cd]
     cd, num = ndimage.label(parse, structure=_FULL3)
     return parse.astype(np.uint8), cd.astype(np.int32), int(num)
 

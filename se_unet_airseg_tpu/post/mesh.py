@@ -42,22 +42,28 @@ def marching_surface(volume: np.ndarray, level: float = 0.5) -> np.ndarray:
 
 def write_binary_stl(path: str, triangles: np.ndarray, name: bytes = b"airseg"):
     """Binary STL: 80-byte header, uint32 count, 50 bytes/triangle
-    (normal + 3 vertices + attribute). Normals are recomputed."""
+    (normal + 3 vertices + attribute). Normals are recomputed.
+
+    Fully vectorized: one structured-array compose + one write (the
+    per-triangle struct.pack loop cost ~47 s on an 886k-triangle
+    CASE073 surface; this runs in well under a second)."""
     tris = np.asarray(triangles, np.float32)
     n = len(tris)
+    nvec = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    norm = np.linalg.norm(nvec, axis=1, keepdims=True)
+    nvec = np.divide(nvec, norm, out=nvec, where=norm > 0)
+    rec = np.zeros(
+        n,
+        np.dtype(
+            [("n", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2")]
+        ),  # packed: 12 + 36 + 2 = 50 bytes
+    )
+    rec["n"] = nvec
+    rec["v"] = tris
     with open(path, "wb") as f:
         f.write(name.ljust(80, b"\0"))
         f.write(struct.pack("<I", n))
-        for t in tris:
-            a, b, c = t
-            nvec = np.cross(b - a, c - a)
-            norm = np.linalg.norm(nvec)
-            if norm > 0:
-                nvec = nvec / norm
-            f.write(struct.pack("<3f", *nvec.astype(np.float32)))
-            for v in (a, b, c):
-                f.write(struct.pack("<3f", *v))
-            f.write(struct.pack("<H", 0))
+        f.write(rec.tobytes())
 
 
 def export_mask_stl(path: str, mask: np.ndarray, *, center=None,
@@ -67,8 +73,20 @@ def export_mask_stl(path: str, mask: np.ndarray, *, center=None,
     convention (vertices shifted by `center`, divided by `scale` —
     reference prediction.py:137-145 uses the skeleton centroid and 10).
     `spacing` multiplies vertices per axis to physical mm (the ATM22
-    driver's convention, reference tree_parsing.py:99-103)."""
-    tris = marching_surface(mask.astype(np.float32), level)
+    driver's convention, reference tree_parsing.py:99-103).
+
+    Marches the foreground bounding box (margin 1) and offsets the
+    vertices back — identical surface in full-volume coordinates at a
+    fraction of the cell scan on 512^3 masks."""
+    idx = np.argwhere(mask)
+    if idx.size:
+        lo = np.maximum(idx.min(axis=0) - 1, 0)
+        hi = np.minimum(idx.max(axis=0) + 2, mask.shape)
+        sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+        tris = marching_surface(mask[sl].astype(np.float32), level)
+        tris = tris + lo.astype(np.float32)[None, None, :]
+    else:
+        tris = marching_surface(mask.astype(np.float32), level)
     if spacing is not None:
         tris = tris * np.asarray(spacing, np.float32)[None, None, :]
     if center is not None:
