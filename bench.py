@@ -1,6 +1,6 @@
 """Headline benchmark: whole-volume segmentation on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 End-to-end path (the reference's test.py flow, SURVEY.md §3.3): HU
 volume upload -> dual windowing -> 128^3/stride-64 sliding-window
@@ -8,11 +8,30 @@ forward (s2d fast path, bf16) with on-device overlap averaging ->
 on-device double-threshold packing (2-bit trits, 16x smaller
 download) -> host DTI hysteresis + largest-26-CC -> binary mask.
 
-Throughput is reported in 128^3 tiles/sec/chip, the north-star unit
-(BASELINE.md). vs_baseline compares against an A100 PyTorch estimate
-of 14 tiles/s (the reference publishes no throughput — SURVEY.md §6;
-its eval loop runs ~70ms/8-tile batch on A100-class fp32 plus host
-reassembly).
+Measurement design (VERDICT r2 items 2-3):
+  * steady-state MULTI-VOLUME windows: each timed window dispatches
+    BENCH_VOLS volumes back-to-back and fetches results in order, so
+    the tunneled ~7 MB/s trit downloads overlap the next volume's
+    device compute (the reference's test loop likewise streams 73
+    volumes; single-volume timing would charge the tunnel's download
+    latency against the chip);
+  * the jit/Mosaic compile cache is pre-warmed before the timed
+    window, and a persistent compilation cache under .jax_cache makes
+    driver re-runs skip the (serial, slow) relay compiles entirely;
+  * BENCH_RUNS windows (default 9), reporting the median with p50/p90
+    and rel_spread so round-over-round deltas are distinguishable from
+    tunnel jitter.
+
+Throughput unit: 128^3 tiles/sec/chip (BASELINE.md north star).
+vs_baseline compares against an A100 PyTorch estimate of 14 tiles/s
+(the reference publishes no throughput — SURVEY.md §6; its eval loop
+runs ~70ms/8-tile batch on A100-class fp32 plus host reassembly).
+
+BENCH_TRAIN=1 switches to the training north star: the stage-1 pjit
+train step at 128^3 (bf16 + remat, s2d fast path), reported in
+patches/sec/chip against an estimated A100 PyTorch train step of
+4.7 patches/s (forward+backward ~3x the forward FLOPs of the 14
+tiles/s inference estimate; reference train.py:582-603).
 """
 
 import json
@@ -23,15 +42,29 @@ import time
 import numpy as np
 
 A100_BASELINE_TILES_PER_S = 14.0
+A100_BASELINE_TRAIN_PATCHES_PER_S = 4.7
 
 
-def main():
+def _enable_persistent_cache():
+    import jax
+
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # cache unsupported on this backend/version: compile as usual
+
+
+def bench_inference():
     import jax
     import jax.numpy as jnp
 
     from se_unet_airseg_tpu.models import SEUNetConfig, init_params
     from se_unet_airseg_tpu.infer import SlidingWindowRunner
-    from se_unet_airseg_tpu.infer.sliding_window import trits_to_scores
+    from se_unet_airseg_tpu.infer.sliding_window import trits_to_scores, unpack_trits
     from se_unet_airseg_tpu.post import dti, largest_component
     from se_unet_airseg_tpu.data import tile_positions, pad_positions_to_batch
 
@@ -39,41 +72,53 @@ def main():
     params = init_params(jax.random.key(0), cfg)
 
     rng = np.random.default_rng(0)
-    # stored-volume contract: int16 HU+1024 (se half-size uploads)
-    vol = (rng.random((320, 256, 320)) * 1400.0 + 24.0).astype(np.int16)
+    shape = (320, 256, 320)
+    n_vols = int(os.environ.get("BENCH_VOLS", "2"))
+    # stored-volume contract: int16 HU+1024 (halves the upload)
+    vols = [
+        (rng.random(shape) * 1400.0 + 24.0).astype(np.int16)
+        for _ in range(n_vols)
+    ]
 
     runner = SlidingWindowRunner(
         params, cfg, batch=int(os.environ.get("BENCH_BATCH", "8"))
     )
 
-    def engine_once():
-        # the BASELINE metric scope: upload, windowing, tiling, forward,
-        # overlap stitching, double-thresholding, download
-        return runner.predict_trits(
+    def dispatch(vol):
+        return runner.predict_trits_device(
             vol, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0
         )
 
-    trits = engine_once()  # warmup/compile on the same shapes
+    def window():
+        """One steady-state window: dispatch all volumes, fetch in
+        order (downloads overlap later volumes' compute)."""
+        outs = [dispatch(v) for v in vols]
+        return [np.asarray(packed) for packed, _, _ in outs]
 
-    n_tiles = len(pad_positions_to_batch(tile_positions(vol.shape), runner.batch))
-    # steady-state window: discard the (already-run) warmup, take the
-    # MEDIAN of 5 back-to-back runs and report the spread so
-    # round-over-round deltas are trustworthy (VERDICT r1 item 9)
+    # warmup: compile + one full window so the timed runs are pure
+    # steady state (compile served from .jax_cache when present)
+    window()
+    fetched = window()
+
+    n_tiles = len(pad_positions_to_batch(tile_positions(shape), runner.batch))
     runs = []
-    for _ in range(5):
+    for _ in range(int(os.environ.get("BENCH_RUNS", "9"))):
         t0 = time.perf_counter()
-        trits = engine_once()
+        window()
         run = time.perf_counter() - t0
         if os.environ.get("BENCH_DEBUG"):
-            print(f"run: {run:.2f}s", file=sys.stderr)
+            print(f"window ({n_vols} vols): {run:.2f}s", file=sys.stderr)
         runs.append(run)
-    med = sorted(runs)[len(runs) // 2]
-    tiles_per_s = n_tiles / med
-    spread = (max(runs) - min(runs)) / med
+    runs.sort()
+    p50 = runs[len(runs) // 2]
+    p90 = runs[min(len(runs) - 1, int(round(0.9 * (len(runs) - 1))))]
+    tiles_per_s = n_vols * n_tiles / p50
+    spread = (runs[-1] - runs[0]) / p50
 
-    # the host post-processing chain runs for end-to-end coverage but
-    # is not the timed metric (the reference's throughput unit is
-    # inference+stitching)
+    # host post-processing chain: end-to-end coverage, not timed (the
+    # reference's throughput unit is inference+stitching). The volume
+    # extents exceed one cube, so padded shape == shape here.
+    trits = unpack_trits(fetched[0], int(np.prod(shape)), shape)
     _ = largest_component(dti(trits_to_scores(trits, 0.5, 0.35), 0.5, 0.35))
 
     print(
@@ -83,11 +128,83 @@ def main():
                 "value": round(tiles_per_s, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_s / A100_BASELINE_TILES_PER_S, 2),
-                "median_s": round(med, 3),
+                "p50_s": round(p50, 3),
+                "p90_s": round(p90, 3),
+                "vols_per_window": n_vols,
                 "rel_spread": round(spread, 3),
             }
         )
     )
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+
+    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+    from se_unet_airseg_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = SEUNetConfig(compute_dtype=jnp.bfloat16, remat=True)
+    params = init_params(jax.random.key(0), cfg)
+    opt, _ = make_optimizer()
+    state = create_train_state(params, opt)
+    step = make_train_step(opt, cfg, stage=1)
+    bsz = int(os.environ.get("BENCH_TRAIN_B", "2"))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.random((bsz, 128, 128, 128, 2), np.float32)
+        ),
+        "label": jnp.asarray(
+            (rng.random((bsz, 128, 128, 128)) > 0.7).astype(np.float32)
+        ),
+    }
+    key = jax.random.key(1)
+
+    def sync(aux):
+        return float(aux["loss"])  # host fetch: reliable sync over the relay
+
+    state, aux = step(state, batch, key)  # compile + warm
+    sync(aux)
+    times = []
+    for i in range(int(os.environ.get("BENCH_RUNS", "7"))):
+        t0 = time.perf_counter()
+        state, aux = step(state, batch, jax.random.fold_in(key, i))
+        sync(aux)
+        t = time.perf_counter() - t0
+        if os.environ.get("BENCH_DEBUG"):
+            print(f"step: {t*1e3:.0f} ms", file=sys.stderr)
+        times.append(t)
+    times.sort()
+    p50 = times[len(times) // 2]
+    pps = bsz / p50
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_128^3_patches_per_sec_per_chip",
+                "value": round(pps, 2),
+                "unit": "patches/s",
+                "vs_baseline": round(
+                    pps / A100_BASELINE_TRAIN_PATCHES_PER_S, 2
+                ),
+                "p50_s": round(p50, 3),
+                "batch": bsz,
+                "rel_spread": round((times[-1] - times[0]) / p50, 3),
+            }
+        )
+    )
+
+
+def main():
+    _enable_persistent_cache()
+    if os.environ.get("BENCH_TRAIN") == "1":
+        bench_train()
+    else:
+        bench_inference()
 
 
 if __name__ == "__main__":

@@ -244,17 +244,30 @@ class SlidingWindowRunner:
         d, h, w = orig
         return out[:d, :h, :w]
 
+    def predict_trits_device(
+        self, hu_volume: np.ndarray, *, h_thresh: float = 0.5,
+        l_thresh: float = 0.4, rng=None, hu_shift: float = 0.0,
+    ):
+        """Dispatch the whole-volume program WITHOUT fetching: returns
+        (packed_device_array, padded_shape, orig_shape). Dispatch is
+        asynchronous, so several volumes can be enqueued back-to-back
+        and fetched in order — the device computes volume k+1 while
+        volume k's (slow, tunneled) download drains."""
+        pred, cnt, padded_shape, orig = self._run(hu_volume, rng, hu_shift)
+        packed = self._finalize_trits(pred, cnt, float(h_thresh), float(l_thresh))
+        return packed, padded_shape, orig
+
     def predict_trits(
         self, hu_volume: np.ndarray, *, h_thresh: float = 0.5,
         l_thresh: float = 0.4, rng=None, hu_shift: float = 0.0,
     ) -> np.ndarray:
         """HU volume -> uint8 trit volume (0 below / 1 band / 2 seed),
         thresholded and packed on device (16x smaller download)."""
-        pred, cnt, padded_shape, orig = self._run(hu_volume, rng, hu_shift)
-        packed = np.asarray(
-            self._finalize_trits(pred, cnt, float(h_thresh), float(l_thresh))
+        packed, padded_shape, orig = self.predict_trits_device(
+            hu_volume, h_thresh=h_thresh, l_thresh=l_thresh, rng=rng,
+            hu_shift=hu_shift,
         )
         n = int(np.prod(padded_shape))
-        trits = unpack_trits(packed, n, padded_shape)
+        trits = unpack_trits(np.asarray(packed), n, padded_shape)
         d, h, w = orig
         return trits[:d, :h, :w]
