@@ -107,7 +107,20 @@ class SlidingWindowRunner:
         self.use_sigmoid = use_sigmoid
         self.train_mode = train_mode
         self.mesh = mesh
+        self.fast = fast
         self.apply_fn = apply_fast if fast else se_unet_apply
+        self._prepare = None
+        self.fast_params = None
+        if fast:
+            from ..models.se_unet import prepare_fast_params
+
+            # ONE device-side program building every transformed weight;
+            # the result is passed as explicit jit arguments so the
+            # volume program contains no host-streamed constants
+            self._prepare = jax.jit(
+                lambda p: prepare_fast_params(p, self.cfg, n=cube // 2)
+            )
+            self.fast_params = self._prepare(params)
         self._finalize_prob = jax.jit(lambda p, c: p / jnp.maximum(c, 1.0))
         self._finalize_trits = jax.jit(self._trit_pack, static_argnums=(2, 3))
         # whole-volume programs, cached per (padded_shape, n_batches):
@@ -121,14 +134,17 @@ class SlidingWindowRunner:
         Lets the per-epoch validation of stages 2/3 reuse one runner
         instead of re-tracing the volume program every epoch."""
         self.params = params
+        if self._prepare is not None:
+            self.fast_params = self._prepare(params)
         return self
 
     def _step_fn_logic(self):
         cube, batch = self.cube, self.batch
         cfg, head_idx, use_sigmoid = self.cfg, self.head_idx, self.use_sigmoid
         train_mode, apply_fn = self.train_mode, self.apply_fn
+        fast = self.fast
 
-        def step(params, vol, pred, cnt, positions, rng):
+        def step(params, fp, vol, pred, cnt, positions, rng):
             def gather(pos):
                 return jax.lax.dynamic_slice(
                     vol, (pos[0], pos[1], pos[2], 0), (cube, cube, cube, 2)
@@ -141,9 +157,10 @@ class SlidingWindowRunner:
                 tiles = jax.lax.with_sharding_constraint(
                     tiles, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
                 )
+            kw = {"fast_params": fp} if fast else {}
             outs = apply_fn(
                 params, tiles, cfg=cfg, train=train_mode,
-                rng=rng if train_mode else None,
+                rng=rng if train_mode else None, **kw,
             )
             p = outs[head_idx][..., 0].astype(jnp.float32)
             if use_sigmoid:
@@ -193,7 +210,7 @@ class SlidingWindowRunner:
         step = self._step_fn_logic()
         batch = self.batch
 
-        def run_all(params, vol_hu, positions, rng, shift):
+        def run_all(params, fp, vol_hu, positions, rng, shift):
             vol = hu_dual_window(vol_hu.astype(jnp.float32) + shift)
             pred = jnp.zeros(padded_shape, jnp.float32)
             cnt = jnp.zeros(padded_shape, jnp.float32)
@@ -201,7 +218,7 @@ class SlidingWindowRunner:
             def body(i, carry):
                 pred, cnt = carry
                 pb = jax.lax.dynamic_slice_in_dim(positions, i * batch, batch)
-                return step(params, vol, pred, cnt, pb,
+                return step(params, fp, vol, pred, cnt, pb,
                             jax.random.fold_in(rng, i))
 
             pred, cnt = jax.lax.fori_loop(0, n_batches, body, (pred, cnt))
@@ -228,8 +245,8 @@ class SlidingWindowRunner:
         n_batches = len(pos) // self.batch
         run_all = self._volume_fn(tuple(vol_np.shape), n_batches)
         pred, cnt = run_all(
-            self.params, jnp.asarray(vol_np), jnp.asarray(pos), rng,
-            jnp.float32(hu_shift),
+            self.params, self.fast_params, jnp.asarray(vol_np),
+            jnp.asarray(pos), rng, jnp.float32(hu_shift),
         )
         return pred, cnt, vol_np.shape, orig_shape
 

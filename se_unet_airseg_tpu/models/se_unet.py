@@ -304,7 +304,110 @@ def apply(
 # ---------------------------------------------------------------------------
 
 
-def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1):
+def _se_chain(p: Params, e, n_gates: int, pre):
+    """Apply the block's SE gate(s), precomputed weights when given."""
+    from ..ops.s2d import se_gate_s2d, se_gate_s2d_pre
+
+    for g in range(n_gates):
+        if pre is not None:
+            e = se_gate_s2d_pre(e, pre[f"se{g}_wg"], pre["se_onehot"])
+        else:
+            e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
+    return e
+
+
+def prepare_fast_params(params: Params, cfg: SEUNetConfig,
+                        n: int | None = None) -> Params:
+    """Precompute every weight transform `apply_fast` needs — s2d
+    kernel lifts, phase-stacked kernels (with concat interleaves
+    folded), block-diagonal pointwise/SE weights, and (given `n`, the
+    s2d grid size = cube/2) the interpolation matrices.
+
+    Why this exists: computed inside the traced program these
+    transforms (a) re-run every forward and (b) embed their numpy lift
+    tensors as HLO constants, which the relayed TPU backend streams
+    from host memory on EVERY execution (~6.5 ms tunnel latency each —
+    a profiled 100+ ms/iter of the round-2 forward). The runner calls
+    this ONCE and passes the result as device-resident arguments; the
+    training path calls it in-trace (differentiable — gradients flow
+    through the lifts, so the step is unchanged numerically).
+    """
+    from ..ops.resize import _interp_matrix
+    from ..ops.s2d import (
+        _interp_pair,
+        bias_to_s2d,
+        conv3_weight_to_s2d,
+        grouped_pointwise_multi_weight,
+        phased_conv_weights,
+        se_gate_weights,
+    )
+
+    dt = cfg.compute_dtype
+    p = jax.tree.map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params
+    )
+    fp: Params = {}
+
+    def se_entries(name: str, n_gates: int) -> Params:
+        e: Params = {}
+        onehot = None
+        for g in range(n_gates):
+            wg, onehot = se_gate_weights(p[name][f"se{g}"]["w"][0, 0, 0], dt)
+            e[f"se{g}_wg"] = wg
+        e["se_onehot"] = onehot
+        return e
+
+    # full-res lifted blocks (dense 3^3 block kernel)
+    for name in ("ec1", "ec2"):
+        fp[name] = {
+            "w": conv3_weight_to_s2d(p[name]["conv"]["w"]),
+            "b": bias_to_s2d(p[name]["conv"]["b"]),
+            **se_entries(name, 1),
+        }
+    # dilation-2 blocks: conv weights stay reference-layout (polyphase
+    # path); only the SE gates are pre-expanded
+    for name, gates in (("ec3", 1), ("ec5", 2), ("ec6", 2)):
+        fp[name] = se_entries(name, gates)
+    # phased blocks; in_splits = original channel counts of the plain
+    # concat feeding them (channel plan in the module docstring)
+    for name, gates, splits in (
+        ("ec4", 2, None),
+        ("dc3", 2, (64, 64)),   # cat(up(d0), e3s)
+        ("dc4", 2, None),
+        ("dc5", 1, (32, 32)),   # cat(up(d1), e1)
+        ("dc6", 1, None),
+    ):
+        w_all, b_all = phased_conv_weights(
+            p[name]["conv"]["w"], p[name]["conv"]["b"], splits
+        )
+        fp[name] = {"w_all": w_all, "b_all": b_all, **se_entries(name, gates)}
+    # s2d CATConv blocks: dense block-diagonal pointwise weights
+    for name, counts in (
+        ("ec33", (32, 8, 16)),  # cat(e1_1, e0, e1)
+        ("x33", (2,)),
+        ("ec63", (64, 32, 32)),  # cat(e3_1s, e2s, e3s)
+        ("x63", (2,)),
+        ("dc42", (32, 64)),     # cat(d1_1s, d1s)
+    ):
+        fp[name] = {
+            "wd": grouped_pointwise_multi_weight(
+                p[name]["conv"]["w"][0, 0, 0], counts, dt
+            )
+        }
+    if n is not None:
+        interp = {
+            (n // 2, n): jnp.asarray(_interp_pair(n // 2, n)),
+            (n, 2 * n): jnp.asarray(_interp_pair(n, 2 * n)),
+            (n // 2, 2 * n): jnp.asarray(_interp_pair(n // 2, 2 * n)),
+            (n // 4, 2 * n): jnp.asarray(_interp_pair(n // 4, 2 * n)),
+        }
+        fp["interp"] = interp
+        fp["interp_tri"] = jnp.asarray(_interp_matrix(n // 4, n // 2))
+    return fp
+
+
+def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
+                   pre=None):
     """SSEConv (one SE gate) on an s2d tensor via the block-lifted
     dense 3^3 conv — the XLA path for the narrow full-res encoder
     blocks (ec1/ec2). The lift costs 8x the original FLOPs but (at
@@ -317,14 +420,16 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1):
         conv3_weight_to_s2d,
         grouped_pointwise,
         instance_norm_s2d,
-        se_gate_s2d,
     )
 
-    wb = conv3_weight_to_s2d(p["conv"]["w"])
-    e = conv3d(x, wb, bias_to_s2d(p["conv"]["b"]), padding=1)
+    if pre is not None:
+        wb, bb = pre["w"], pre["b"]
+    else:
+        wb = conv3_weight_to_s2d(p["conv"]["w"])
+        bb = bias_to_s2d(p["conv"]["b"])
+    e = conv3d(x, wb, bb, padding=1)
     e = leaky_relu(instance_norm_s2d(e))
-    for g in range(n_gates):
-        e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
+    e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
@@ -332,18 +437,21 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1):
 
 
 def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
-                        n_gates: int = 1, use_pallas: bool = False):
+                        n_gates: int = 1, use_pallas: bool = False,
+                        pre=None):
     """SSEConv with dilation 2. XLA path: polyphase decomposition
     (exact, no FLOP overhead — 8 sub-grids convolved dil-1 as batch
-    entries, at the price of two full-tensor transposes). Pallas path:
+    entries, at the price of two full-tensor transposes). The
+    InstanceNorm statistics reduce in POLYPHASE layout, i.e. off the
+    conv's native output before the transpose back — reducing after
+    from_polyphase forced XLA to materialize f32 relayout copies of
+    the full tensor (~35 ms/iter at the ec3 shape). Pallas path:
     per-position im2col conv in one fused kernel with InstanceNorm
     statistics, no transposes (ops/pallas_s2d.dil2_conv_stats)."""
     from ..ops.s2d import (
         from_polyphase,
         grouped_pointwise,
         instance_norm_from_stats,
-        instance_norm_s2d,
-        se_gate_s2d,
         to_polyphase,
     )
 
@@ -353,32 +461,47 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         y, s1, s2 = dil2_conv_stats(x, p["conv"]["w"], p["conv"]["b"])
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
     else:
+        b = x.shape[0]
         xp = to_polyphase(x)
-        e = conv3d(xp, p["conv"]["w"], p["conv"]["b"], padding=1)
-        e = from_polyphase(e)
-        e = leaky_relu(instance_norm_s2d(e))
-    for g in range(n_gates):
-        e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
+        y = conv3d(xp, p["conv"]["w"], p["conv"]["b"], padding=1)
+        co = y.shape[-1]
+        # per-(polyphase-batch, channel) sums regroup to the p-major
+        # (b, 8*Co) layout instance_norm_from_stats expects
+        s1 = jnp.sum(y, axis=(1, 2, 3), dtype=jnp.float32).reshape(b, 8 * co)
+        s2 = jnp.sum(
+            jnp.square(y.astype(jnp.float32)), axis=(1, 2, 3)
+        ).reshape(b, 8 * co)
+        e = from_polyphase(y)
+        e = leaky_relu(instance_norm_from_stats(e, s1, s2))
+    e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
     return e, side
 
 
-def _cat_block_s2d(p: Params, x):
+def _cat_block_s2d(p: Params, x, pre=None):
     """CATConv on one s2d tensor or a LIST of them: a list is consumed
     as a plain channel concat with the interleave permutation folded
     into the block-diagonal pointwise weight (zero data movement for
     the cat itself)."""
-    from ..ops.s2d import grouped_pointwise_multi, instance_norm_s2d
+    from ..ops.s2d import (
+        grouped_pointwise_multi,
+        grouped_pointwise_multi_pre,
+        instance_norm_s2d,
+    )
 
     xs = list(x) if isinstance(x, (list, tuple)) else [x]
-    y = grouped_pointwise_multi(xs, p["conv"]["w"][0, 0, 0])
+    if pre is not None:
+        y = grouped_pointwise_multi_pre(xs, pre["wd"])
+    else:
+        y = grouped_pointwise_multi(xs, p["conv"]["w"][0, 0, 0])
     return leaky_relu(instance_norm_s2d(y))
 
 
 def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
-                          n_gates: int = 1, use_pallas: bool = False):
+                          n_gates: int = 1, use_pallas: bool = False,
+                          pre=None):
     """SSEConv (one SE gate) on an s2d tensor via the per-output-phase
     conv decomposition — used for all full-res and 1/2-res blocks. A
     list input is a plain concat; the interleave goes into the lifted
@@ -386,12 +509,11 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
     phase gather) and the InstanceNorm statistics run as one fused TPU
     kernel (ops/pallas_s2d.py)."""
     from ..ops.s2d import (
-        conv3_s2d_phased,
+        conv3_s2d_phased_pre,
         grouped_pointwise,
         instance_norm_from_stats,
         instance_norm_s2d,
         phased_conv_weights,
-        se_gate_s2d,
     )
 
     if isinstance(x, (list, tuple)):
@@ -407,22 +529,24 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
         and x.shape[-1] >= 128
         and 8 * p["conv"]["w"].shape[4] >= 128
     )
-    if use_pallas:
-        from ..ops.pallas_s2d import phased_conv_stats
-
+    if pre is not None:
+        w_all, b_all = pre["w_all"], pre["b_all"]
+    else:
         w_all, b_all = phased_conv_weights(
             p["conv"]["w"], p["conv"]["b"], splits
         )
+    if use_pallas:
+        from ..ops.pallas_s2d import phased_conv_stats
+
         y, s1, s2 = phased_conv_stats(
             x, w_all.reshape(8, *w_all.shape[3:]),
             b_all.astype(jnp.float32),
         )
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
     else:
-        e = conv3_s2d_phased(x, p["conv"]["w"], p["conv"]["b"], in_splits=splits)
+        e = conv3_s2d_phased_pre(x, w_all, b_all)
         e = leaky_relu(instance_norm_s2d(e))
-    for g in range(n_gates):
-        e = se_gate_s2d(e, p[f"se{g}"]["w"][0, 0, 0])
+    e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
@@ -441,7 +565,8 @@ def _s2d_cat(*tensors):
     return y.reshape(b, d, h, w, -1)
 
 
-def _composed_head(metas, head_p, key, threshold: float, train: bool):
+def _composed_head(metas, head_p, key, threshold: float, train: bool,
+                   interp=None):
     """Deep-supervision head WITHOUT materializing side outputs.
 
     The reference head is conv1x1(DropLayer(cat(upsample(side_i)))):
@@ -515,7 +640,9 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool):
             contrib = jnp.einsum("bdhwc,bc->bdhw", feat, w_eff)[..., None]
             per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
     for sc, acc in per_scale.items():
-        up = upsample_to_s2d(acc.astype(jnp.float32), sc)  # (B, n, n, n, 8)
+        m = acc.shape[1]
+        pair = interp.get((m, m * sc)) if interp else None
+        up = upsample_to_s2d(acc.astype(jnp.float32), sc, pair=pair)
         total = up if total is None else total + up
     # total is (B,n,n,n,8) == (..., 8*1): d2s yields (B,2n,2n,2n,1)
     pred = depth_to_space(total)
@@ -544,10 +671,16 @@ def apply_fast(
     cfg: SEUNetConfig = SEUNetConfig(),
     train: bool = False,
     rng: jax.Array | None = None,
+    fast_params: Params | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """TPU-optimized forward; same contract as `apply`.
 
     Requires D, H, W divisible by 8 (as does `apply`).
+
+    `fast_params`: the prepare_fast_params(params, cfg) pytree. Pass it
+    (precomputed once, device-resident) on inference hot paths; when
+    None it is computed in-trace from `params` (differentiable — the
+    training path relies on this).
     """
     from ..ops.s2d import (
         depth_to_space,
@@ -559,6 +692,8 @@ def apply_fast(
     dt = cfg.compute_dtype
     p = jax.tree.map(lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
     x = x.astype(dt)
+    fp = fast_params if fast_params is not None else prepare_fast_params(params, cfg)
+    interp = fp.get("interp", {})
     cat = lambda *ts: jnp.concatenate(ts, axis=-1)
     # auto currently resolves to off — see SEUNetConfig.use_pallas
     upl = bool(cfg.use_pallas)
@@ -591,24 +726,28 @@ def apply_fast(
 
     # ---- encoder level 1 (s2d) ----
     xs = space_to_depth(x)  # (B, n, n, n, 16)
-    e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False)
-    e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False)
-    e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False, use_pallas=upl_dil2)
+    e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"])
+    e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"])
+    e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
+                                  use_pallas=upl_dil2, pre=fp["ec3"])
     f0, f1, f2 = e0, e1, e1_1  # head features
-    e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1])
-    e1 = e1 + _cat_block_s2d(p["x33"], xs)
+    e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], fp["ec33"])
+    e1 = e1 + _cat_block_s2d(p["x33"], xs, fp["x33"])
     e2 = max_pool_s2d(e1)  # exits s2d: (B, n, n, n, 32)
     x2 = max_pool_s2d(xs)
 
     # ---- encoder level 2 (s2d at 32^3 blocks: 256-512 channels) ----
     e2s = space_to_depth(e2)
     x2s = space_to_depth(x2)
-    e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2, use_pallas=upl)
-    e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2, use_pallas=upl_dil2)
-    e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2, use_pallas=upl_dil2)
+    e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2,
+                                   use_pallas=upl, pre=fp["ec4"])
+    e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2,
+                                 use_pallas=upl_dil2, pre=fp["ec5"])
+    e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2,
+                                   use_pallas=upl_dil2, pre=fp["ec6"])
     f3, f4, f5 = e2s, e3s, e3_1s
-    e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s])
-    e3s = e3s + _cat_block_s2d(p["x63"], x2s)
+    e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], fp["ec63"])
+    e3s = e3s + _cat_block_s2d(p["x63"], x2s, fp["x63"])
     e4 = max_pool_s2d(e3s)
     x3 = max_pool_s2d(x2s)
 
@@ -629,23 +768,30 @@ def apply_fast(
     e7 = _cat_block(p["ec123"], cat(e7_1, e6, e7))
 
     # ---- decoder level 3 (1/4) ----
-    e8 = upsample_trilinear(e7, 2)
+    e8 = upsample_trilinear(e7, 2, mat=fp.get("interp_tri"))
     d0, _ = _sse_block(p["dc1"], cat(e8, e5), dilation=1, up=1, n_gates=2, want_side=False)
     d0_1, _ = _sse_block(p["dc2"], d0, dilation=1, up=1, n_gates=2, want_side=False)
     f12, f13 = d0, d0_1
     d0 = _cat_block(p["dc22"], cat(d0_1, d0))
 
     # ---- decoder level 2 (s2d at 32^3 blocks) ----
-    d1s = upsample_to_s2d(d0, 2)  # (32^3 blocks of 64^3, 8*64)
-    d1s, _ = _sse_block_s2d_phased(p["dc3"], [d1s, e3s], want_side=False, n_gates=2, use_pallas=upl)
-    d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False, n_gates=2, use_pallas=upl)
+    m = d0.shape[1]
+    d1s = upsample_to_s2d(d0, 2, pair=interp.get((m, 2 * m)))
+    d1s, _ = _sse_block_s2d_phased(p["dc3"], [d1s, e3s], want_side=False,
+                                   n_gates=2, use_pallas=upl, pre=fp["dc3"])
+    d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False,
+                                     n_gates=2, use_pallas=upl, pre=fp["dc4"])
     f14, f15 = d1s, d1_1s
-    d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s])
+    d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s], fp["dc42"])
 
     # ---- decoder level 1 (full res, all in s2d) ----
-    up_s = upsample_to_s2d(depth_to_space(d1s), 2)  # (n^3, 8*32)
-    d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False, use_pallas=upl)
-    d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False, use_pallas=upl)
+    d1f = depth_to_space(d1s)
+    m = d1f.shape[1]
+    up_s = upsample_to_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
+    d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False,
+                                  use_pallas=upl, pre=fp["dc5"])
+    d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False,
+                                    use_pallas=upl, pre=fp["dc6"])
     f16, f17 = d2, d2_1
     # dc62's output feeds nothing in the reference forward (its result
     # is dead after SE_UNet.py:230) — skipped here; XLA would DCE it.
@@ -668,6 +814,8 @@ def apply_fast(
         (f14, p["dc3"], "s2d_up", 2), (f15, p["dc4"], "s2d_up", 2),
         (f16, p["dc5"], "s2d", 1), (f17, p["dc6"], "s2d", 1),
     ]
-    pred_en = _composed_head(metas_en, p["head_en"], k_en, cfg.drop_threshold, train)
-    pred_de = _composed_head(metas_de, p["head_de"], k_de, cfg.drop_threshold, train)
+    pred_en = _composed_head(metas_en, p["head_en"], k_en, cfg.drop_threshold,
+                             train, interp=interp)
+    pred_de = _composed_head(metas_de, p["head_de"], k_de, cfg.drop_threshold,
+                             train, interp=interp)
     return pred_en.astype(jnp.float32), pred_de.astype(jnp.float32)

@@ -45,20 +45,24 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m
 
 
-def upsample_trilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+def upsample_trilinear(x: jnp.ndarray, scale: int, mat=None) -> jnp.ndarray:
     """Trilinear upsample of an NDHWC tensor by an integer factor.
 
     Matches `torch.nn.Upsample(scale_factor=scale, mode='trilinear',
     align_corners=True)` on NCDHW inputs (modulo layout). `scale=1`
     is the identity, as in the reference's `down_sample=1` blocks.
-    """
+    `mat` is the precomputed (d*scale, d) interpolation matrix for
+    cubic volumes (keeps relayed-TPU programs constant-free)."""
     if scale == 1:
         return x
     _, d, h, w, _ = x.shape
     dtype = x.dtype
-    md = jnp.asarray(_interp_matrix(d, d * scale), dtype=jnp.float32)
-    mh = jnp.asarray(_interp_matrix(h, h * scale), dtype=jnp.float32)
-    mw = jnp.asarray(_interp_matrix(w, w * scale), dtype=jnp.float32)
+    if mat is not None:
+        md = mh = mw = mat.astype(jnp.float32)
+    else:
+        md = jnp.asarray(_interp_matrix(d, d * scale), dtype=jnp.float32)
+        mh = jnp.asarray(_interp_matrix(h, h * scale), dtype=jnp.float32)
+        mw = jnp.asarray(_interp_matrix(w, w * scale), dtype=jnp.float32)
     y = x.astype(jnp.float32)
     # Separable interpolation: one MXU contraction per spatial axis.
     # HIGHEST precision: each row has only 2 non-zeros, so exactness is

@@ -135,6 +135,24 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x.astype(jnp.float32) * scale8 - shift8).astype(x.dtype)
 
 
+def se_gate_weights(w_se: jnp.ndarray, dtype):
+    """Precompute the (wg, onehot) pair consumed by se_gate_s2d_pre.
+    `w_se` is the reference (Ci, 1) kernel (no bias)."""
+    ci = w_se.shape[0]
+    eye = jnp.eye(8, dtype=dtype)
+    wg = jnp.kron(eye, w_se.astype(dtype))  # (8Ci, 8)
+    onehot = jnp.kron(eye, jnp.ones((1, ci), dtype))  # (8, 8Ci)
+    return wg, onehot
+
+
+def se_gate_s2d_pre(x: jnp.ndarray, wg: jnp.ndarray, onehot: jnp.ndarray):
+    """se_gate_s2d with precomputed weights (no in-trace kron)."""
+    import jax
+
+    gate = jax.nn.sigmoid(jnp.einsum("...i,ip->...p", x, wg, precision=HP))
+    return x * jnp.einsum("...p,pj->...j", gate, onehot, precision=HP)
+
+
 def se_gate_s2d(x: jnp.ndarray, w_se: jnp.ndarray) -> jnp.ndarray:
     """Spatial squeeze-excitation on an s2d tensor: per ORIGINAL voxel
     gate sigmoid(<features, w>) broadcast over that voxel's channels.
@@ -143,15 +161,8 @@ def se_gate_s2d(x: jnp.ndarray, w_se: jnp.ndarray) -> jnp.ndarray:
     5-D formulation: gate = x @ kron(I8, w) gives the 8 per-position
     gates; the broadcast back over each position's channels is a
     second one-hot matmul (8, 8Ci) — both stay in the native layout."""
-    import jax
-
-    *lead, c8 = x.shape
-    ci = w_se.shape[0]
-    eye = jnp.eye(8, dtype=x.dtype)
-    wg = jnp.kron(eye, w_se.astype(x.dtype))  # (8Ci, 8)
-    gate = jax.nn.sigmoid(jnp.einsum("...i,ip->...p", x, wg, precision=HP))
-    onehot = jnp.kron(eye, jnp.ones((1, ci), x.dtype))  # (8, 8Ci)
-    return x * jnp.einsum("...p,pj->...j", gate, onehot, precision=HP)
+    wg, onehot = se_gate_weights(w_se, x.dtype)
+    return se_gate_s2d_pre(x, wg, onehot)
 
 
 def max_pool_s2d(x: jnp.ndarray) -> jnp.ndarray:
@@ -175,17 +186,24 @@ def _interp_pair(n_in: int, n_out_full: int) -> np.ndarray:
     return np.stack([m[0::2], m[1::2]])
 
 
-def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None):
+def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
+                    pair=None):
     """Trilinear align_corners upsample of (B, m, m, m, C) by `scale`,
     emitted directly in s2d layout (B, m*scale/2, ..., 8C).
 
-    Matches upsample_trilinear + space_to_depth exactly.
-    """
+    Matches upsample_trilinear + space_to_depth exactly. `pair` is the
+    precomputed (2, m*scale/2, m) even/odd interpolation matrix (cubic
+    volumes share it across axes); passing it keeps the traced program
+    free of host-streamed constants (each costs a tunnel round-trip
+    per execution on relayed TPU hosts)."""
     b, d, h, w, c = x.shape
     dtype = x.dtype
-    md = jnp.asarray(_interp_pair(d, d * scale), jnp.float32)
-    mh = jnp.asarray(_interp_pair(h, h * scale), jnp.float32)
-    mw = jnp.asarray(_interp_pair(w, w * scale), jnp.float32)
+    if pair is not None:
+        md = mh = mw = pair.astype(jnp.float32)
+    else:
+        md = jnp.asarray(_interp_pair(d, d * scale), jnp.float32)
+        mh = jnp.asarray(_interp_pair(h, h * scale), jnp.float32)
+        mw = jnp.asarray(_interp_pair(w, w * scale), jnp.float32)
     y = x.astype(jnp.float32)
     y = jnp.einsum("aDd,bdhwc->baDhwc", md, y, precision=HP)
     y = jnp.einsum("eHh,baDhwc->beaDHwc", mh, y, precision=HP)
@@ -236,6 +254,23 @@ def phased_conv_weights(
     return w_all, b_all
 
 
+def conv3_s2d_phased_pre(x: jnp.ndarray, w_all: jnp.ndarray,
+                         b_all: jnp.ndarray | None = None):
+    """conv3_s2d_phased with the phase-stacked kernel precomputed
+    (w_all (2,2,2,8Ci,8Co), b_all (8Co,))."""
+    from .conv import conv3d
+
+    co = w_all.shape[-1] // 8
+    n = x.shape[1]
+    y = conv3d(x, w_all, b_all, padding=1)  # (B, n+1, n+1, n+1, 8Co)
+    outs = []
+    for q, (a, bb, c) in enumerate(product(range(2), repeat=3)):
+        outs.append(
+            y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
 def conv3_s2d_phased(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -257,18 +292,8 @@ def conv3_s2d_phased(
     interleave permutation is folded into the lifted kernel's input
     rows — the concat itself then needs no data movement.
     """
-    from .conv import conv3d
-
-    co = w.shape[4]
     w_all, b_all = phased_conv_weights(w, b, in_splits)
-    n = x.shape[1]
-    y = conv3d(x, w_all, b_all, padding=1)  # (B, n+1, n+1, n+1, 8Co)
-    outs = []
-    for q, (a, bb, c) in enumerate(product(range(2), repeat=3)):
-        outs.append(
-            y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
-        )
-    return jnp.concatenate(outs, axis=-1)
+    return conv3_s2d_phased_pre(x, w_all, b_all)
 
 
 def instance_norm_from_stats(
@@ -293,6 +318,30 @@ def instance_norm_from_stats(
     return (y.astype(jnp.float32) * scale8 - shift8).astype(y.dtype)
 
 
+def grouped_pointwise_multi_weight(
+    w: jnp.ndarray, channel_counts: tuple, dtype
+) -> jnp.ndarray:
+    """Precompute the dense block-diagonal weight grouped_pointwise_multi
+    applies: W[off8_t + p*c_t + i, p*co + o] = w[cum_t + i, o]."""
+    eye = jnp.eye(8, dtype=dtype)
+    parts = []
+    cum = 0
+    for c_t in channel_counts:
+        parts.append(jnp.kron(eye, w[cum : cum + c_t].astype(dtype)))
+        cum += c_t
+    return jnp.concatenate(parts, axis=0)  # (sum 8c_t, 8Co)
+
+
+def grouped_pointwise_multi_pre(xs: list, wd: jnp.ndarray,
+                                b: jnp.ndarray | None = None):
+    """grouped_pointwise_multi with the weight precomputed."""
+    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+    y = jnp.einsum("...i,io->...o", x, wd, precision=HP)
+    if b is not None:
+        y = y + jnp.tile(b, 8).astype(y.dtype)
+    return y
+
+
 def grouped_pointwise_multi(
     xs: list, w: jnp.ndarray, b: jnp.ndarray | None = None
 ):
@@ -302,20 +351,9 @@ def grouped_pointwise_multi(
     the interleave permutation is folded into the block-diagonal
     weight: W[off8_t + p*c_t + i, p*co + o] = w[cum_t + i, o].
     Exactly equals grouped_pointwise(s2d-interleaved-cat(xs), w, b)."""
-    dtype = xs[0].dtype
-    eye = jnp.eye(8, dtype=dtype)
-    parts = []
-    cum = 0
-    for t in xs:
-        c_t = t.shape[-1] // 8
-        parts.append(jnp.kron(eye, w[cum : cum + c_t].astype(dtype)))
-        cum += c_t
-    wd = jnp.concatenate(parts, axis=0)  # (sum 8c_t, 8Co)
-    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
-    y = jnp.einsum("...i,io->...o", x, wd, precision=HP)
-    if b is not None:
-        y = y + jnp.tile(b, 8).astype(y.dtype)
-    return y
+    counts = tuple(t.shape[-1] // 8 for t in xs)
+    wd = grouped_pointwise_multi_weight(w, counts, xs[0].dtype)
+    return grouped_pointwise_multi_pre(xs, wd, b)
 
 
 @lru_cache(maxsize=None)

@@ -51,3 +51,19 @@ def test_fast_path_grads_match():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4
         )
+
+
+def test_prepared_fast_params_match_in_trace():
+    """prepare_fast_params passed explicitly (the runner's inference
+    hot path: no in-trace weight lifting, no host-streamed constants)
+    must reproduce the fp=None path exactly."""
+    from se_unet_airseg_tpu.models.se_unet import prepare_fast_params
+
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(6), cfg)
+    x = jax.random.normal(jax.random.key(7), (1, 16, 16, 16, 2), jnp.float32)
+    fp = jax.jit(lambda p: prepare_fast_params(p, cfg, n=8))(params)
+    en0, de0 = apply_fast(params, x, cfg=cfg)
+    en1, de1 = apply_fast(params, x, cfg=cfg, fast_params=fp)
+    np.testing.assert_allclose(np.asarray(en1), np.asarray(en0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(de1), np.asarray(de0), rtol=1e-5, atol=1e-6)
