@@ -26,7 +26,6 @@ runs in interpreter mode, keeping CPU tests hermetic.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -45,19 +44,46 @@ def _pad8(v: int) -> int:
     return -(-v // 8) * 8
 
 
-def _vmem_estimate(tz, ty, n, cin, cout_blk, out_itemsize=2) -> int:
+def _vmem_estimate(tz, ty, n, cin, cout_blk, out_itemsize=2, tx=None) -> int:
     """Rough scoped-VMEM footprint of one phased-kernel grid step:
     Mosaic pads sublane extents to 8 and keeps the dot temporary, the
     sliced operand, and double-buffered blocked in/outs live together.
     Calibrated against the 'scoped allocation ... exceeded 16M' OOMs
-    of the remote compile helper."""
-    xw = _pad8(n + 2)
+    of the remote compile helper. `tx` is the x-tile (defaults to the
+    untiled full extent n)."""
+    if tx is None:
+        tx = n
+    xw = _pad8(tx + 2) if tx < n else _pad8(n + 2)
     xs = (tz + 2) * (ty + 2) * xw * cin * 2
-    acc = (tz + 1) * (ty + 1) * _pad8(n + 1) * cout_blk * 4
-    xsl = (tz + 1) * (ty + 1) * _pad8(n + 1) * cin * 2
-    out2 = 2 * tz * ty * n * cout_blk * out_itemsize
+    acc = (tz + 1) * (ty + 1) * _pad8(tx + 1) * cout_blk * 4
+    xsl = (tz + 1) * (ty + 1) * _pad8(tx + 1) * cin * 2
+    out2 = 2 * tz * ty * tx * cout_blk * out_itemsize
     w2 = 2 * 8 * cin * cout_blk * 2
     return xs + 2 * acc + xsl + out2 + w2
+
+
+def _pick_tile3(n: int, cin: int, cout_blk: int):
+    """(tz, ty, tx) for the x-tiled phased kernel: maximize the useful
+    compute fraction tz*ty*tx / ((tz+1)(ty+1)(tx+1)) under the VMEM
+    budget (the (t+1)/t halo recompute was the round-2 kernel's main
+    loss: VMEM forced (2,4)-voxel tiles at 64^3). Returns None when
+    nothing divides n within budget."""
+    budget = 11 * 1024 * 1024
+    best, best_frac = None, 0.0
+    for tz in (2, 4, 8, 16, 32):
+        for ty in (2, 4, 8, 16, 32):
+            for tx in (8, 16, 32, 64):
+                if n % tz or n % ty or n % tx:
+                    continue
+                if _vmem_estimate(tz, ty, n, cin, cout_blk, tx=tx) > budget:
+                    continue
+                frac = (tz * ty * tx) / ((tz + 1) * (ty + 1) * (tx + 1))
+                # mild penalty for DMA read amplification
+                amp = ((tz + 2) * (ty + 2) * (tx + 8)) / (tz * ty * tx)
+                score = frac / (1.0 + 0.1 * amp)
+                if score > best_frac:
+                    best, best_frac = (tz, ty, tx), score
+    return best
 
 
 def _pick_tile(n: int, cin: int, cout_blk: int,
@@ -81,61 +107,64 @@ def _pick_tile(n: int, cin: int, cout_blk: int,
 
 
 def _pick_nsplit(n: int, cin: int, cout: int) -> int:
-    """Smallest output-channel split (1/2/4/8 blocks) whose best tile
-    fits the VMEM budget."""
+    """Smallest output-channel split (1/2/4/8 blocks) whose best
+    x-tiled grid reaches a decent useful-compute fraction (splitting
+    costs an extra full read of x per block, so prefer ncb=1)."""
     for ncb in (1, 2, 4, 8):
-        tile = _pick_tile(n, cin, cout // ncb)
-        if tile is not None and tile[0] * tile[1] > 4:
+        tile = _pick_tile3(n, cin, cout // ncb)
+        if tile is None:
+            continue
+        tz, ty, tx = tile
+        frac = (tz * ty * tx) / ((tz + 1) * (ty + 1) * (tx + 1))
+        if frac > 0.55:
             return ncb
     return 8
 
 
-def _phased_kernel(tz, ty, n, cin, co, ppb, out_dtype,
+def _phased_kernel(tz, ty, tx, n, cin, co, ppb, out_dtype,
                    x_hbm, w_ref, b_ref, out_ref, s1_ref, s2_ref,
                    xs, acc_ref, sem):
-    # Grid: (ncb output-channel blocks, batch, z-tiles, y-tiles); each
-    # channel block covers `ppb` phases (ppb * co lanes).
-    # xs extent on the x axis is n+2 rounded up to a sublane multiple
-    # of 8 (DMA slices of an HBM ref need the second-to-last dim
-    # either full or 8-aligned); the tail zeros are never read.
+    # Grid: (ncb output-channel blocks, batch, z-tiles, y-tiles,
+    # x-tiles); each channel block covers `ppb` phases (ppb*co lanes).
+    # The x DMA starts at xi*tx (8-aligned since tx % 8 == 0) and reads
+    # tx+8 sublanes (slice widths of an HBM ref must be 8-aligned);
+    # only the first tx+2 are consumed.
     # The f32 accumulator lives in a VMEM scratch REF — keeping the
-    # (tz+1, ty+1, n+1, Cblk) intermediate out of SSA values bounds
+    # (tz+1, ty+1, tx+1, Cblk) intermediate out of SSA values bounds
     # Mosaic's register pressure (a value-form accumulator OOM-killed
     # the remote compile helper at the model's hot shapes).
     nc = pl.program_id(0)
     b = pl.program_id(1)
     zi = pl.program_id(2)
     yi = pl.program_id(3)
+    xi = pl.program_id(4)
 
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(zi * tz, tz + 2), pl.ds(yi * ty, ty + 2)],
+        x_hbm.at[b, pl.ds(zi * tz, tz + 2), pl.ds(yi * ty, ty + 2),
+                 pl.ds(xi * tx, tx + 8)],
         xs,
         sem,
     )
     dma.start()
     dma.wait()
 
-    acc_mode = os.environ.get("PALLAS_S2D_ACC", "ref")
-    acc = None
     for s in range(8):
         sz, sy, sx = (s >> 2) & 1, (s >> 1) & 1, s & 1
-        xsl = xs[sz : sz + tz + 1, sy : sy + ty + 1, sx : sx + n + 1, :]
+        xsl = xs[sz : sz + tz + 1, sy : sy + ty + 1, sx : sx + tx + 1, :]
         part = lax.dot_general(
             xsl,
             w_ref[s],
             (((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if acc_mode == "value":
-            acc = part if acc is None else acc + part
-        elif s == 0:
+        if s == 0:
             acc_ref[...] = part + b_ref[0].astype(jnp.float32)
         else:
             acc_ref[...] += part
-    if acc_mode == "value":
-        acc_ref[...] = acc + b_ref[0].astype(jnp.float32)
 
-    first = jnp.logical_and(b == 0, jnp.logical_and(zi == 0, yi == 0))
+    first = jnp.logical_and(
+        jnp.logical_and(b == 0, zi == 0), jnp.logical_and(yi == 0, xi == 0)
+    )
 
     @pl.when(first)
     def _():
@@ -144,19 +173,18 @@ def _phased_kernel(tz, ty, n, cin, co, ppb, out_dtype,
 
     # per-phase gather out of the accumulator + statistics (the stats
     # refs hold this channel block's (B, Cblk) slice — resident across
-    # the (b, zi, yi) sweep; the row update is one full-width access:
-    # lane-sliced RMW of a VMEM ref crashes the Mosaic vector.load
-    # lowering). The phase's spatial shift comes from its GLOBAL index.
-    # Mosaic constraint: dynamic offsets on the sublane (x) dim must
-    # be provably 8-aligned, so the x-parity shift uses STATIC slices;
-    # z/y offsets may be dynamic (pl.ds) when the channel-block index
-    # makes the global phase a traced value.
+    # the (b, zi, yi, xi) sweep; the row update is one full-width
+    # access: lane-sliced RMW of a VMEM ref crashes the Mosaic
+    # vector.load lowering). Mosaic constraint: dynamic offsets on the
+    # sublane (x) dim must be provably 8-aligned, so the x-parity
+    # shift uses STATIC slices; z/y offsets may be dynamic (pl.ds)
+    # when the channel-block index makes the global phase traced.
     s1_parts, s2_parts = [], []
     for ql in range(ppb):
         if ppb == 8:
             q = ql  # single channel block: everything static
             az, ay, ax = (q >> 2) & 1, (q >> 1) & 1, q & 1
-            blk = acc_ref[az : az + tz, ay : ay + ty, ax : ax + n,
+            blk = acc_ref[az : az + tz, ay : ay + ty, ax : ax + tx,
                           ql * co : (ql + 1) * co]
         else:
             q = nc * ppb + ql
@@ -165,10 +193,10 @@ def _phased_kernel(tz, ty, n, cin, co, ppb, out_dtype,
             both = acc_ref[pl.ds(az, tz), pl.ds(ay, ty), :, ch]
             if ppb > 1:
                 # phases come in (x=0, x=1) pairs within a block
-                blk = both[:, :, ql % 2 : ql % 2 + n, :]
+                blk = both[:, :, ql % 2 : ql % 2 + tx, :]
             else:
                 blk = jnp.where(
-                    (q & 1) == 0, both[:, :, 0:n, :], both[:, :, 1 : n + 1, :]
+                    (q & 1) == 0, both[:, :, 0:tx, :], both[:, :, 1 : tx + 1, :]
                 )
         out_ref[0, :, :, :, ql * co : (ql + 1) * co] = blk.astype(out_dtype)
         s1_parts.append(jnp.sum(blk, axis=(0, 1, 2))[None])
@@ -190,33 +218,35 @@ def _pallas_forward(x, w_all, b_all):
     ncb = _pick_nsplit(n, cin, cout)
     cblk = cout // ncb
     ppb = 8 // ncb
-    tile = _pick_tile(n, cin, cblk)
-    if tile is None:  # no (tz, ty) divides n within the VMEM budget
+    tile = _pick_tile3(n, cin, cblk)
+    if tile is None:  # nothing divides n within the VMEM budget
         return _xla_composition(x, w_all, b_all)
-    tz, ty = tile
-    xw = _pad8(n + 2)  # x extent, sublane-aligned
+    tz, ty, tx = tile
+    # x extent of the padded volume: start offsets xi*tx are 8-aligned
+    # and every tile reads tx+8 sublanes, so the pad must reach n+8
+    xw = max(_pad8(n + 2), n + 8)
 
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, xw - n - 1), (0, 0)))
-    kernel = partial(_phased_kernel, tz, ty, n, cin, co, ppb, x.dtype)
+    kernel = partial(_phased_kernel, tz, ty, tx, n, cin, co, ppb, x.dtype)
 
     flops = 2 * bsz * (n + 1) ** 3 * 8 * cin * cout
     y, s1, s2 = pl.pallas_call(
         kernel,
-        grid=(ncb, bsz, n // tz, n // ty),
+        grid=(ncb, bsz, n // tz, n // ty, n // tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, cin, cblk), lambda nc, b, i, j: (0, 0, nc),
+            pl.BlockSpec((8, cin, cblk), lambda nc, b, i, j, k: (0, 0, nc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cblk), lambda nc, b, i, j: (0, nc),
+            pl.BlockSpec((1, cblk), lambda nc, b, i, j, k: (0, nc),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tz, ty, n, cblk),
-                         lambda nc, b, i, j: (b, i, j, 0, nc),
+            pl.BlockSpec((1, tz, ty, tx, cblk),
+                         lambda nc, b, i, j, k: (b, i, j, k, nc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, cblk), lambda nc, b, i, j: (0, nc),
+            pl.BlockSpec((bsz, cblk), lambda nc, b, i, j, k: (0, nc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, cblk), lambda nc, b, i, j: (0, nc),
+            pl.BlockSpec((bsz, cblk), lambda nc, b, i, j, k: (0, nc),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -225,8 +255,8 @@ def _pallas_forward(x, w_all, b_all):
             jax.ShapeDtypeStruct((bsz, cout), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tz + 2, ty + 2, xw, cin), x.dtype),
-            pltpu.VMEM((tz + 1, ty + 1, n + 1, cblk), jnp.float32),
+            pltpu.VMEM((tz + 2, ty + 2, tx + 8, cin), x.dtype),
+            pltpu.VMEM((tz + 1, ty + 1, tx + 1, cblk), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
