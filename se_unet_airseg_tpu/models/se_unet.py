@@ -509,10 +509,9 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
     phase gather) and the InstanceNorm statistics run as one fused TPU
     kernel (ops/pallas_s2d.py)."""
     from ..ops.s2d import (
-        conv3_s2d_phased_pre,
+        conv3_s2d_phased_fused,
         grouped_pointwise,
         instance_norm_from_stats,
-        instance_norm_s2d,
         phased_conv_weights,
     )
 
@@ -544,8 +543,7 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
         )
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
     else:
-        e = conv3_s2d_phased_pre(x, w_all, b_all)
-        e = leaky_relu(instance_norm_s2d(e))
+        e = conv3_s2d_phased_fused(x, w_all, b_all)
     e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None
@@ -608,12 +606,19 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool,
         whe = hw_eff[:, ch : ch + 2]  # (B or 1, 2)
         ch += 2
         bias = bias + jnp.einsum("e,be->b", b_side, whe)
+        eye8 = jnp.eye(8, dtype=jnp.float32)
         if not train:
-            w1 = (w_side @ whe[0]).astype(feat.dtype)  # (Ci,)
+            w1 = w_side @ whe[0]  # (Ci,) f32
             if kind in ("s2d", "s2d_up"):
-                b_, d_, h_, w_, c8 = feat.shape
-                fr = feat.reshape(b_, d_, h_, w_, 8, c8 // 8)
-                contrib = jnp.einsum("bdhwpc,c->bdhwp", fr, w1).astype(jnp.float32)
+                # per-position projection as ONE kron matmul — a
+                # (…, 8, Ci) lane-splitting reshape forces a relayout
+                # copy of the full-res feature tensors
+                c8 = feat.shape[-1]
+                wk = jnp.einsum("pq,c->pcq", eye8, w1).reshape(c8, 8)
+                contrib = jnp.einsum(
+                    "...k,kp->...p", feat, wk.astype(feat.dtype),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.float32)
                 if kind == "s2d":
                     total = contrib if total is None else total + contrib
                 else:
@@ -622,14 +627,20 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool,
                     c6 = depth_to_space(contrib)
                     per_scale[sc] = c6 if sc not in per_scale else per_scale[sc] + c6
             else:
-                contrib = jnp.einsum("bdhwc,c->bdhw", feat, w1)[..., None]
+                contrib = jnp.einsum(
+                    "bdhwc,c->bdhw", feat, w1.astype(feat.dtype)
+                )[..., None].astype(jnp.float32)
                 per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
             continue
-        w_eff = jnp.einsum("ce,be->bc", w_side, whe).astype(feat.dtype)  # (B, Ci)
+        w_eff = jnp.einsum("ce,be->bc", w_side, whe)  # (B, Ci) f32
         if kind in ("s2d", "s2d_up"):
-            b_, d_, h_, w_, c8 = feat.shape
-            fr = feat.reshape(b_, d_, h_, w_, 8, c8 // 8)
-            contrib = jnp.einsum("bdhwpc,bc->bdhwp", fr, w_eff).astype(jnp.float32)
+            c8 = feat.shape[-1]
+            b_ = feat.shape[0]
+            wk = jnp.einsum("pq,bc->bpcq", eye8, w_eff).reshape(b_, c8, 8)
+            contrib = jnp.einsum(
+                "bdhwk,bkp->bdhwp", feat, wk.astype(feat.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.float32)
             if kind == "s2d":
                 total = contrib if total is None else total + contrib
             else:
@@ -637,7 +648,9 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool,
                 per_scale[sc] = c6 if sc not in per_scale else per_scale[sc] + c6
             continue
         else:
-            contrib = jnp.einsum("bdhwc,bc->bdhw", feat, w_eff)[..., None]
+            contrib = jnp.einsum(
+                "bdhwc,bc->bdhw", feat, w_eff.astype(feat.dtype)
+            )[..., None].astype(jnp.float32)
             per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
     for sc, acc in per_scale.items():
         m = acc.shape[1]

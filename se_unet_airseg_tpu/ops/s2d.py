@@ -205,11 +205,13 @@ def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
         mh = jnp.asarray(_interp_pair(h, h * scale), jnp.float32)
         mw = jnp.asarray(_interp_pair(w, w * scale), jnp.float32)
     y = x.astype(jnp.float32)
-    y = jnp.einsum("aDd,bdhwc->baDhwc", md, y, precision=HP)
-    y = jnp.einsum("eHh,baDhwc->beaDHwc", mh, y, precision=HP)
-    y = jnp.einsum("fWw,beaDHwc->bfeaDHWc", mw, y, precision=HP)
-    # (b, fx, ey, az, D, H, W, c) with a=z-parity, e=y-parity, f=x-parity
-    y = y.transpose(0, 4, 5, 6, 3, 2, 1, 7)  # (b, D, H, W, az, ey, fx, c)
+    # each contraction EMITS its parity axis directly in the final
+    # (b, D, H, W, az, ey, fx, c) order, so the s2d regroup below is a
+    # pure reshape — the previous parity-major ordering needed an 8-D
+    # transpose afterwards, a profiled ~30 ms/iter relayout copy
+    y = jnp.einsum("aDd,bdhwc->bDhwac", md, y, precision=HP)
+    y = jnp.einsum("eHh,bDhwac->bDHwaec", mh, y, precision=HP)
+    y = jnp.einsum("fWw,bDHwaec->bDHWaefc", mw, y, precision=HP)
     n = d * scale // 2
     return y.reshape(b, n, n, n, 8 * c).astype(dtype)
 
@@ -269,6 +271,39 @@ def conv3_s2d_phased_pre(x: jnp.ndarray, w_all: jnp.ndarray,
             y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
         )
     return jnp.concatenate(outs, axis=-1)
+
+
+def conv3_s2d_phased_fused(x: jnp.ndarray, w_all: jnp.ndarray,
+                           b_all: jnp.ndarray | None, eps: float = 1e-5):
+    """Phased conv + InstanceNorm + LeakyReLU with the phase gather
+    deferred: the statistics reduce straight off the conv's (n+1)^3
+    phase-stacked output slices, and normalize+activation is emitted
+    per phase INSIDE the final concat — one output pass where the
+    gather-then-normalize order costs two full-tensor round trips.
+    Equals leaky_relu(instance_norm_s2d(conv3_s2d_phased_pre(...))) up
+    to fp reassociation of the channel sums."""
+    from .conv import conv3d
+    from .norms import leaky_relu
+
+    co = w_all.shape[-1] // 8
+    n = x.shape[1]
+    y = conv3d(x, w_all, b_all, padding=1)  # (B, n+1, n+1, n+1, 8Co)
+    slices, s1, s2 = [], 0.0, 0.0
+    for q, (a, bb, c) in enumerate(product(range(2), repeat=3)):
+        sl = y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
+        slices.append(sl)
+        s1 = s1 + jnp.sum(sl, axis=(1, 2, 3), dtype=jnp.float32)
+        s2 = s2 + jnp.sum(jnp.square(sl.astype(jnp.float32)), axis=(1, 2, 3))
+    nvox = 8 * n * n * n
+    mean = s1 / nvox  # (B, Co) per ORIGINAL channel
+    var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)[:, None, None, None, :]
+    shift = (mean[:, None, None, None, :]) * scale
+    acts = [
+        leaky_relu(sl.astype(jnp.float32) * scale - shift).astype(x.dtype)
+        for sl in slices
+    ]
+    return jnp.concatenate(acts, axis=-1)
 
 
 def conv3_s2d_phased(
