@@ -121,12 +121,14 @@ class SlidingWindowRunner:
                 lambda p: prepare_fast_params(p, self.cfg, n=cube // 2)
             )
             self.fast_params = self._prepare(params)
-        self._finalize_prob = jax.jit(lambda p, c: p / jnp.maximum(c, 1.0))
+        self._finalize_prob = jax.jit(lambda p, inv: p * inv)
         self._finalize_trits = jax.jit(self._trit_pack, static_argnums=(2, 3))
         # whole-volume programs, cached per (padded_shape, n_batches):
         # one device dispatch per volume instead of one per tile batch
         # (each dispatch costs ~50 ms over tunneled hosts)
         self._volume_fns: dict = {}
+        # reciprocal overlap counts, cached per padded shape
+        self._inv_cnt_cache: dict = {}
 
     def set_params(self, params) -> "SlidingWindowRunner":
         """Swap the parameter pytree WITHOUT invalidating the compiled
@@ -144,13 +146,17 @@ class SlidingWindowRunner:
         train_mode, apply_fn = self.train_mode, self.apply_fn
         fast = self.fast
 
-        def step(params, fp, vol, pred, cnt, positions, rng):
+        def step(params, fp, vol, pred, positions, rng, shift):
             def gather(pos):
                 return jax.lax.dynamic_slice(
-                    vol, (pos[0], pos[1], pos[2], 0), (cube, cube, cube, 2)
+                    vol, (pos[0], pos[1], pos[2]), (cube, cube, cube)
                 )
 
-            tiles = jax.vmap(gather)(positions)  # (B, c, c, c, 2)
+            # gather the RAW (int16) tiles and window per tile — the
+            # full-volume f32 windowed copy (210 MB at 320^3) never
+            # materializes
+            raw = jax.vmap(gather)(positions)  # (B, c, c, c)
+            tiles = hu_dual_window(raw.astype(jnp.float32) + shift)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -167,27 +173,22 @@ class SlidingWindowRunner:
                 p = jax.nn.sigmoid(p)
 
             # overlap accumulation: sequential read-modify-write per tile
-            # (tiles within a batch may overlap, so no vmap here)
-            def body(i, carry):
-                pred, cnt = carry
+            # (tiles within a batch may overlap, so no vmap here). The
+            # overlap COUNT volume is a per-shape constant computed on
+            # host (see _inv_count) — only probabilities accumulate.
+            def body(i, pred):
                 pos = positions[i]
                 idx = (pos[0], pos[1], pos[2])
                 cur = jax.lax.dynamic_slice(pred, idx, (cube, cube, cube))
-                pred = jax.lax.dynamic_update_slice(pred, cur + p[i], idx)
-                curc = jax.lax.dynamic_slice(cnt, idx, (cube, cube, cube))
-                cnt = jax.lax.dynamic_update_slice(
-                    cnt, curc + jnp.float32(1), idx
-                )
-                return pred, cnt
+                return jax.lax.dynamic_update_slice(pred, cur + p[i], idx)
 
-            pred, cnt = jax.lax.fori_loop(0, batch, body, (pred, cnt))
-            return pred, cnt
+            return jax.lax.fori_loop(0, batch, body, pred)
 
         return step
 
     @staticmethod
-    def _trit_pack(pred, cnt, h_thresh: float, l_thresh: float):
-        avg = pred / jnp.maximum(cnt, 1.0)
+    def _trit_pack(pred, inv_cnt, h_thresh: float, l_thresh: float):
+        avg = pred * inv_cnt
         trit = (
             (avg >= l_thresh).astype(jnp.uint8)
             + (avg >= h_thresh).astype(jnp.uint8)
@@ -200,9 +201,10 @@ class SlidingWindowRunner:
         return t[:, 0] | (t[:, 1] << 2) | (t[:, 2] << 4) | (t[:, 3] << 6)
 
     def _volume_fn(self, padded_shape: tuple, n_batches: int):
-        """One jitted program for the WHOLE volume: dual windowing,
-        fori_loop over tile batches (gather -> forward -> overlap
-        scatter-add), final overlap average. Returns (pred_avg, cnt)."""
+        """One jitted program for the WHOLE volume: fori_loop over tile
+        batches (raw-tile gather -> per-tile windowing -> forward ->
+        overlap scatter-add). Returns the probability SUM volume; the
+        overlap average divides by the per-shape count constant."""
         key = (padded_shape, n_batches)
         fn = self._volume_fns.get(key)
         if fn is not None:
@@ -211,22 +213,34 @@ class SlidingWindowRunner:
         batch = self.batch
 
         def run_all(params, fp, vol_hu, positions, rng, shift):
-            vol = hu_dual_window(vol_hu.astype(jnp.float32) + shift)
             pred = jnp.zeros(padded_shape, jnp.float32)
-            cnt = jnp.zeros(padded_shape, jnp.float32)
 
-            def body(i, carry):
-                pred, cnt = carry
+            def body(i, pred):
                 pb = jax.lax.dynamic_slice_in_dim(positions, i * batch, batch)
-                return step(params, fp, vol, pred, cnt, pb,
-                            jax.random.fold_in(rng, i))
+                return step(params, fp, vol_hu, pred, pb,
+                            jax.random.fold_in(rng, i), shift)
 
-            pred, cnt = jax.lax.fori_loop(0, n_batches, body, (pred, cnt))
-            return pred, cnt
+            return jax.lax.fori_loop(0, n_batches, body, pred)
 
         fn = jax.jit(run_all)
         self._volume_fns[key] = fn
         return fn
+
+    def _inv_count(self, padded_shape: tuple, pos: np.ndarray):
+        """Reciprocal overlap-count volume — a pure function of the
+        tile grid, computed once per shape on host and cached on
+        device (the in-loop count accumulation cost a full
+        read-modify-write pass per tile)."""
+        key = (padded_shape, len(pos))
+        inv = self._inv_cnt_cache.get(key)
+        if inv is None:
+            cnt = np.zeros(padded_shape, np.float32)
+            c = self.cube
+            for x, y, z in np.asarray(pos):
+                cnt[x : x + c, y : y + c, z : z + c] += 1.0
+            inv = jnp.asarray(1.0 / np.maximum(cnt, 1.0))
+            self._inv_cnt_cache[key] = inv
+        return inv
 
     def _run(self, hu_volume: np.ndarray, rng, hu_shift: float = 0.0):
         # integer CT volumes (the stored data_cut contract is int16
@@ -244,11 +258,12 @@ class SlidingWindowRunner:
             rng = jax.random.key(0)
         n_batches = len(pos) // self.batch
         run_all = self._volume_fn(tuple(vol_np.shape), n_batches)
-        pred, cnt = run_all(
+        inv_cnt = self._inv_count(tuple(vol_np.shape), pos)
+        pred = run_all(
             self.params, self.fast_params, jnp.asarray(vol_np),
             jnp.asarray(pos), rng, jnp.float32(hu_shift),
         )
-        return pred, cnt, vol_np.shape, orig_shape
+        return pred, inv_cnt, vol_np.shape, orig_shape
 
     def predict_hu(self, hu_volume: np.ndarray, rng=None,
                    hu_shift: float = 0.0) -> np.ndarray:
@@ -256,8 +271,8 @@ class SlidingWindowRunner:
 
         `hu_shift` is added on device (pass -1024 with the stored
         int16 HU+1024 volumes to halve the upload)."""
-        pred, cnt, _, orig = self._run(hu_volume, rng, hu_shift)
-        out = np.asarray(self._finalize_prob(pred, cnt))
+        pred, inv_cnt, _, orig = self._run(hu_volume, rng, hu_shift)
+        out = np.asarray(self._finalize_prob(pred, inv_cnt))
         d, h, w = orig
         return out[:d, :h, :w]
 
@@ -270,8 +285,10 @@ class SlidingWindowRunner:
         asynchronous, so several volumes can be enqueued back-to-back
         and fetched in order — the device computes volume k+1 while
         volume k's (slow, tunneled) download drains."""
-        pred, cnt, padded_shape, orig = self._run(hu_volume, rng, hu_shift)
-        packed = self._finalize_trits(pred, cnt, float(h_thresh), float(l_thresh))
+        pred, inv_cnt, padded_shape, orig = self._run(hu_volume, rng, hu_shift)
+        packed = self._finalize_trits(
+            pred, inv_cnt, float(h_thresh), float(l_thresh)
+        )
         return packed, padded_shape, orig
 
     def predict_trits(

@@ -59,11 +59,16 @@ class SEUNetConfig:
     # FLOPs for the activation memory of a 128^3 crop fitting in HBM
     remat: bool = False
     # fused Pallas phased-conv+stats kernels for the s2d blocks.
-    # None currently resolves to OFF: standalone kernel timings trail
-    # the XLA composition (10.3 vs 8.3 ms at the ec4 shape) and the
-    # in-model verdict is pending (tools/e2e_forward_bench.py); flip
-    # the auto rule when the fused path wins end-to-end.
+    # None currently resolves to OFF: XLA's phased conv runs at ~58%
+    # MXU at the dc5 shape and the v2 kernel still trails it (120 vs
+    # 50 ms — per-step DMA latency over thousands of small grid
+    # steps); see ROADMAP.
     use_pallas: bool | None = None
+    # dilation-2 s2d blocks: "grouped" runs the 8 sub-grid convs as
+    # ONE feature_group_count=8 conv in the native s2d layout
+    # (bitwise-equal to the polyphase path, none of its two
+    # full-tensor transposes); "polyphase" keeps the transpose form.
+    dil2_mode: str = "grouped"
 
 
 # ---------------------------------------------------------------------------
@@ -364,10 +369,14 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
             "b": bias_to_s2d(p[name]["conv"]["b"]),
             **se_entries(name, 1),
         }
-    # dilation-2 blocks: conv weights stay reference-layout (polyphase
-    # path); only the SE gates are pre-expanded
+    # dilation-2 blocks: grouped-conv weights (weights tiled across the
+    # 8 sub-position groups) + pre-expanded SE gates
     for name, gates in (("ec3", 1), ("ec5", 2), ("ec6", 2)):
-        fp[name] = se_entries(name, gates)
+        fp[name] = {
+            "wg": jnp.tile(p[name]["conv"]["w"], (1, 1, 1, 1, 8)),
+            "bg": jnp.tile(p[name]["conv"]["b"], 8),
+            **se_entries(name, gates),
+        }
     # phased blocks; in_splits = original channel counts of the plain
     # concat feeding them (channel plan in the module docstring)
     for name, gates, splits in (
@@ -438,20 +447,24 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
 
 def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                         n_gates: int = 1, use_pallas: bool = False,
-                        pre=None):
-    """SSEConv with dilation 2. XLA path: polyphase decomposition
-    (exact, no FLOP overhead — 8 sub-grids convolved dil-1 as batch
-    entries, at the price of two full-tensor transposes). The
-    InstanceNorm statistics reduce in POLYPHASE layout, i.e. off the
-    conv's native output before the transpose back — reducing after
-    from_polyphase forced XLA to materialize f32 relayout copies of
-    the full tensor (~35 ms/iter at the ec3 shape). Pallas path:
-    per-position im2col conv in one fused kernel with InstanceNorm
-    statistics, no transposes (ops/pallas_s2d.dil2_conv_stats)."""
+                        pre=None, mode: str = "grouped"):
+    """SSEConv with dilation 2 on an s2d tensor: a dil-2 conv on the
+    full grid is exactly 8 independent dil-1 convs on the sub-grids.
+
+    mode "grouped" (default): ONE feature_group_count=8 conv in the
+    native s2d layout (group g = sub-position g; weights tiled across
+    groups) — bitwise-equal to the polyphase path with none of its two
+    full-tensor 6-D transposes. mode "polyphase": sub-positions become
+    batch entries (to_polyphase/from_polyphase); statistics reduce in
+    polyphase layout before the transpose back (reducing after it
+    forced f32 relayout copies, ~35 ms/iter at the ec3 shape).
+    Pallas path: per-position im2col conv in one fused kernel
+    (ops/pallas_s2d.dil2_conv_stats)."""
     from ..ops.s2d import (
         from_polyphase,
         grouped_pointwise,
         instance_norm_from_stats,
+        instance_norm_s2d,
         to_polyphase,
     )
 
@@ -460,6 +473,14 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
 
         y, s1, s2 = dil2_conv_stats(x, p["conv"]["w"], p["conv"]["b"])
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
+    elif mode == "grouped":
+        if pre is not None and "wg" in pre:
+            wg, bg = pre["wg"], pre["bg"]
+        else:
+            wg = jnp.tile(p["conv"]["w"], (1, 1, 1, 1, 8))
+            bg = jnp.tile(p["conv"]["b"], 8)
+        y = conv3d(x, wg, bg, padding=1, groups=8)
+        e = leaky_relu(instance_norm_s2d(y))
     else:
         b = x.shape[0]
         xp = to_polyphase(x)
@@ -742,7 +763,8 @@ def apply_fast(
     e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"])
     e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"])
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
-                                  use_pallas=upl_dil2, pre=fp["ec3"])
+                                  use_pallas=upl_dil2, pre=fp["ec3"],
+                                  mode=cfg.dil2_mode)
     f0, f1, f2 = e0, e1, e1_1  # head features
     e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], fp["ec33"])
     e1 = e1 + _cat_block_s2d(p["x33"], xs, fp["x33"])
@@ -755,9 +777,11 @@ def apply_fast(
     e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2,
                                    use_pallas=upl, pre=fp["ec4"])
     e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2,
-                                 use_pallas=upl_dil2, pre=fp["ec5"])
+                                 use_pallas=upl_dil2, pre=fp["ec5"],
+                                 mode=cfg.dil2_mode)
     e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2,
-                                   use_pallas=upl_dil2, pre=fp["ec6"])
+                                   use_pallas=upl_dil2, pre=fp["ec6"],
+                                   mode=cfg.dil2_mode)
     f3, f4, f5 = e2s, e3s, e3_1s
     e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], fp["ec63"])
     e3s = e3s + _cat_block_s2d(p["x63"], x2s, fp["x63"])
