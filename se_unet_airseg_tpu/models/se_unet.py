@@ -536,17 +536,15 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
         phased_conv_weights,
     )
 
-    if isinstance(x, (list, tuple)):
-        splits = tuple(t.shape[-1] // 8 for t in x)
-        x = x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
-    else:
-        splits = None
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    splits = tuple(t.shape[-1] // 8 for t in xs) if len(xs) > 1 else None
+    total_c = sum(t.shape[-1] for t in xs)
     # Mosaic rejects the kernel's sub-lane-width vectors ("unsupported
     # shape cast") below the 128-lane tile — keep narrow blocks
     # (ec1/ec2) on the XLA composition
     use_pallas = (
         use_pallas
-        and x.shape[-1] >= 128
+        and total_c >= 128
         and 8 * p["conv"]["w"].shape[4] >= 128
     )
     if pre is not None:
@@ -558,13 +556,15 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
     if use_pallas:
         from ..ops.pallas_s2d import phased_conv_stats
 
+        xc = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
         y, s1, s2 = phased_conv_stats(
-            x, w_all.reshape(8, *w_all.shape[3:]),
+            xc, w_all.reshape(8, *w_all.shape[3:]),
             b_all.astype(jnp.float32),
         )
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
     else:
-        e = conv3_s2d_phased_fused(x, w_all, b_all)
+        # list input: the concat folds into per-input kernel row slices
+        e = conv3_s2d_phased_fused(xs, w_all, b_all)
     e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None

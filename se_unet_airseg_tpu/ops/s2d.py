@@ -273,7 +273,7 @@ def conv3_s2d_phased_pre(x: jnp.ndarray, w_all: jnp.ndarray,
     return jnp.concatenate(outs, axis=-1)
 
 
-def conv3_s2d_phased_fused(x: jnp.ndarray, w_all: jnp.ndarray,
+def conv3_s2d_phased_fused(x, w_all: jnp.ndarray,
                            b_all: jnp.ndarray | None, eps: float = 1e-5):
     """Phased conv + InstanceNorm + LeakyReLU with the phase gather
     deferred: the statistics reduce straight off the conv's (n+1)^3
@@ -281,13 +281,29 @@ def conv3_s2d_phased_fused(x: jnp.ndarray, w_all: jnp.ndarray,
     per phase INSIDE the final concat — one output pass where the
     gather-then-normalize order costs two full-tensor round trips.
     Equals leaky_relu(instance_norm_s2d(conv3_s2d_phased_pre(...))) up
-    to fp reassociation of the channel sums."""
+    to fp reassociation of the channel sums.
+
+    `x` may be a LIST of s2d tensors forming a plain concat (w_all
+    built with the matching in_splits): convolution is linear in the
+    input channels, so conv(concat(a,b), W) = conv(a, W_a) +
+    conv(b, W_b) — the concatenated tensor never materializes (the
+    dc5-input concat alone cost ~47 ms/volume as an XLA pad+max
+    fusion)."""
     from .conv import conv3d
     from .norms import leaky_relu
 
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
     co = w_all.shape[-1] // 8
-    n = x.shape[1]
-    y = conv3d(x, w_all, b_all, padding=1)  # (B, n+1, n+1, n+1, 8Co)
+    n = xs[0].shape[1]
+    y = None
+    off = 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if y is None else None, padding=1)
+        y = yt if y is None else y + yt
+        off += k
+    # y: (B, n+1, n+1, n+1, 8Co)
     slices, s1, s2 = [], 0.0, 0.0
     for q, (a, bb, c) in enumerate(product(range(2), repeat=3)):
         sl = y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
@@ -300,7 +316,7 @@ def conv3_s2d_phased_fused(x: jnp.ndarray, w_all: jnp.ndarray,
     scale = lax.rsqrt(var + eps)[:, None, None, None, :]
     shift = (mean[:, None, None, None, :]) * scale
     acts = [
-        leaky_relu(sl.astype(jnp.float32) * scale - shift).astype(x.dtype)
+        leaky_relu(sl.astype(jnp.float32) * scale - shift).astype(xs[0].dtype)
         for sl in slices
     ]
     return jnp.concatenate(acts, axis=-1)
@@ -369,9 +385,17 @@ def grouped_pointwise_multi_weight(
 
 def grouped_pointwise_multi_pre(xs: list, wd: jnp.ndarray,
                                 b: jnp.ndarray | None = None):
-    """grouped_pointwise_multi with the weight precomputed."""
-    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
-    y = jnp.einsum("...i,io->...o", x, wd, precision=HP)
+    """grouped_pointwise_multi with the weight precomputed. The concat
+    never materializes: the matmul is linear in the input channels, so
+    each tensor contracts against its own row block of `wd` and the
+    partial products sum."""
+    y = None
+    off = 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = jnp.einsum("...i,io->...o", t, wd[off : off + k], precision=HP)
+        y = yt if y is None else y + yt
+        off += k
     if b is not None:
         y = y + jnp.tile(b, 8).astype(y.dtype)
     return y
