@@ -73,7 +73,7 @@ def bench_inference():
 
     rng = np.random.default_rng(0)
     shape = (320, 256, 320)
-    n_vols = int(os.environ.get("BENCH_VOLS", "2"))
+    n_vols = int(os.environ.get("BENCH_VOLS", "4"))
     # stored-volume contract: int16 HU+1024 (halves the upload)
     vols = [
         (rng.random(shape) * 1400.0 + 24.0).astype(np.int16)

@@ -198,13 +198,18 @@ def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
     per execution on relayed TPU hosts)."""
     b, d, h, w, c = x.shape
     dtype = x.dtype
+    # bf16 path: contract in bf16 (MXU accumulates f32) — the f32
+    # staging tensors cost ~2x the HBM traffic of the whole chain and
+    # the activations are bf16-quantized on either side anyway. The
+    # f32 path keeps f32 operands (bit-parity with the reference).
+    ct = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     if pair is not None:
-        md = mh = mw = pair.astype(jnp.float32)
+        md = mh = mw = pair.astype(ct)
     else:
-        md = jnp.asarray(_interp_pair(d, d * scale), jnp.float32)
-        mh = jnp.asarray(_interp_pair(h, h * scale), jnp.float32)
-        mw = jnp.asarray(_interp_pair(w, w * scale), jnp.float32)
-    y = x.astype(jnp.float32)
+        md = jnp.asarray(_interp_pair(d, d * scale), ct)
+        mh = jnp.asarray(_interp_pair(h, h * scale), ct)
+        mw = jnp.asarray(_interp_pair(w, w * scale), ct)
+    y = x.astype(ct)
     # each contraction EMITS its parity axis directly in the final
     # (b, D, H, W, az, ey, fx, c) order, so the s2d regroup below is a
     # pure reshape — the previous parity-major ordering needed an 8-D

@@ -149,6 +149,33 @@ def main():
         n = len(pad_positions_to_batch(tile_positions(vol.shape), 8))
         print(f"engine {vol.shape}: {wall:.2f} s wall, {n} tiles, "
               f"{n/wall:.2f} tiles/s")
+    elif what == "batch":
+        # ONE production tile-batch step (gather -> window -> forward ->
+        # scatter-add), prepared fast params, jitted standalone — the
+        # per-op numbers here are the engine's per-batch cost without
+        # the whole-volume while wrapper double-counting its body
+        from se_unet_airseg_tpu.infer import SlidingWindowRunner
+
+        runner = SlidingWindowRunner(params, cfg, batch=8)
+        vol = (np.random.default_rng(0).random((320, 256, 320)) * 1400.0
+               + 24.0).astype(np.int16)
+        vol_j = jnp.asarray(vol)
+        pred0 = jnp.zeros(vol.shape, jnp.float32)
+        pos = jnp.asarray(
+            [[0, 0, 0], [64, 0, 0], [128, 0, 0], [0, 64, 0],
+             [64, 64, 0], [0, 0, 64], [64, 0, 64], [0, 64, 64]],
+            jnp.int32,
+        )
+        step = jax.jit(runner._step_fn_logic())
+        rng = jax.random.key(0)
+        shift = jnp.float32(-1024.0)
+
+        def run():
+            return step(runner.params, runner.fast_params, vol_j, pred0,
+                        pos, rng, shift)
+
+        wall = _trace(run, logdir, iters)
+        print(f"batch step B=8: {wall*1e3:.0f} ms ({8/wall:.1f} tiles/s)")
     elif what == "step":
         from se_unet_airseg_tpu.train.step import (
             create_train_state, make_optimizer, make_train_step)

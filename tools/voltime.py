@@ -1,0 +1,67 @@
+"""Wall-time the cached whole-volume program (no downloads): the
+device-side tiles/s ceiling for the sliding-window engine. Env knobs:
+BATCH (default 8). Used to A/B model-graph variants quickly."""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from se_unet_airseg_tpu.data.tiling import (
+        pad_positions_to_batch,
+        tile_positions,
+    )
+    from se_unet_airseg_tpu.infer import SlidingWindowRunner
+    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+
+    batch = int(os.environ.get("BATCH", "8"))
+    cfg = SEUNetConfig(compute_dtype=jnp.bfloat16)
+    params = init_params(jax.random.key(0), cfg)
+    r = SlidingWindowRunner(params, cfg, batch=batch)
+    shape = (320, 256, 320)
+    vol = jnp.asarray(
+        (np.random.default_rng(0).random(shape) * 1400 + 24).astype(np.int16)
+    )
+    pos_np = pad_positions_to_batch(tile_positions(shape), batch)
+    pos = jnp.asarray(pos_np)
+    n_b = len(pos_np) // batch
+    fn = r._volume_fn(shape, n_b)
+    rng = jax.random.key(0)
+    shift = jnp.float32(-1024.0)
+
+    def sync(x):
+        return float(x.ravel()[0])
+
+    t0 = time.perf_counter()
+    pred = fn(r.params, r.fast_params, vol, pos, rng, shift)
+    sync(pred)
+    print(f"compile+first: {time.perf_counter() - t0:.1f} s")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pred = fn(r.params, r.fast_params, vol, pos, rng, shift)
+        sync(pred)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    n = len(pos_np)
+    print(f"volume: {t:.3f} s, {n} tiles, {n / t:.2f} tiles/s (batch={batch})")
+
+
+if __name__ == "__main__":
+    main()
