@@ -121,20 +121,67 @@ def bench_inference():
     trits = unpack_trits(fetched[0], int(np.prod(shape)), shape)
     _ = largest_component(dti(trits_to_scores(trits, 0.5, 0.35), 0.5, 0.35))
 
-    print(
-        json.dumps(
-            {
-                "metric": "sliding_window_128^3_tiles_per_sec_per_chip",
-                "value": round(tiles_per_s, 2),
-                "unit": "tiles/s",
-                "vs_baseline": round(tiles_per_s / A100_BASELINE_TILES_PER_S, 2),
-                "p50_s": round(p50, 3),
-                "p90_s": round(p90, 3),
-                "vols_per_window": n_vols,
-                "rel_spread": round(spread, 3),
-            }
-        )
+    out = {
+        "metric": "sliding_window_128^3_tiles_per_sec_per_chip",
+        "value": round(tiles_per_s, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_s / A100_BASELINE_TILES_PER_S, 2),
+        "p50_s": round(p50, 3),
+        "p90_s": round(p90, 3),
+        "vols_per_window": n_vols,
+        "rel_spread": round(spread, 3),
+    }
+    # the OTHER north-star number (BASELINE.md: forward AND train
+    # step), captured in the same driver-read line
+    try:
+        out.update(_train_step_metrics())
+    except Exception as e:  # train metric must never sink the headline
+        out["train_error"] = f"{type(e).__name__}: {e}"[:120]
+    print(json.dumps(out))
+
+
+def _train_step_metrics():
+    import jax
+    import jax.numpy as jnp
+
+    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+    from se_unet_airseg_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
     )
+
+    cfg = SEUNetConfig(compute_dtype=jnp.bfloat16, remat=True)
+    params = init_params(jax.random.key(0), cfg)
+    opt, _ = make_optimizer()
+    state = create_train_state(params, opt)
+    step = make_train_step(opt, cfg, stage=1)
+    bsz = int(os.environ.get("BENCH_TRAIN_B", "2"))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.random((bsz, 128, 128, 128, 2), np.float32)),
+        "label": jnp.asarray(
+            (rng.random((bsz, 128, 128, 128)) > 0.7).astype(np.float32)
+        ),
+    }
+    key = jax.random.key(1)
+    state, aux = step(state, batch, key)
+    float(aux["loss"])  # sync
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, aux = step(state, batch, jax.random.fold_in(key, i))
+        float(aux["loss"])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    pps = bsz / p50
+    return {
+        "train_patches_per_s": round(pps, 2),
+        "train_vs_baseline": round(pps / A100_BASELINE_TRAIN_PATCHES_PER_S, 2),
+        "train_step_p50_s": round(p50, 3),
+        "train_batch": bsz,
+    }
 
 
 def bench_train():

@@ -64,6 +64,12 @@ class SEUNetConfig:
     # 50 ms — per-step DMA latency over thousands of small grid
     # steps); see ROADMAP.
     use_pallas: bool | None = None
+    # fused Pallas EPILOGUE for the phased s2d blocks: the conv stays
+    # on XLA's MXU-hot emitter, but phase gather + InstanceNorm +
+    # LeakyReLU + SE gate(s) run as one double-buffered kernel pass
+    # instead of XLA's ~5 full-tensor round trips. None resolves to
+    # the PALLAS_EPI env var (default ON on TPU backends).
+    use_pallas_epi: bool | None = None
     # dilation-2 s2d blocks: "grouped" runs the 8 sub-grid convs as
     # ONE feature_group_count=8 conv in the native s2d layout
     # (bitwise-equal to the polyphase path, none of its two
@@ -356,10 +362,21 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
     def se_entries(name: str, n_gates: int) -> Params:
         e: Params = {}
         onehot = None
+        wg_pads = []
         for g in range(n_gates):
             wg, onehot = se_gate_weights(p[name][f"se{g}"]["w"][0, 0, 0], dt)
             e[f"se{g}_wg"] = wg
+            wg_pads.append(jnp.pad(wg, ((0, 0), (0, 128 - wg.shape[1]))))
         e["se_onehot"] = onehot
+        # zero-padded gate weights for the fused Pallas epilogues: the
+        # (8Co, 8) kron gate padded to 128 lanes (sub-128-lane matmul
+        # outputs fail Mosaic layout inference), and the (8, 8Co)
+        # one-hot broadcast padded to 128 rows (zero rows drop the
+        # sigmoid(0)=0.5 of the padding lanes)
+        e["epi_wgs"] = jnp.stack(wg_pads)
+        e["epi_oh"] = jnp.pad(
+            onehot, ((0, 128 - onehot.shape[0]), (0, 0))
+        )
         return e
 
     # full-res lifted blocks (dense 3^3 block kernel)
@@ -416,7 +433,7 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
 
 
 def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
-                   pre=None):
+                   pre=None, use_epi: bool = False):
     """SSEConv (one SE gate) on an s2d tensor via the block-lifted
     dense 3^3 conv — the XLA path for the narrow full-res encoder
     blocks (ec1/ec2). The lift costs 8x the original FLOPs but (at
@@ -437,8 +454,13 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
         wb = conv3_weight_to_s2d(p["conv"]["w"])
         bb = bias_to_s2d(p["conv"]["b"])
     e = conv3d(x, wb, bb, padding=1)
-    e = leaky_relu(instance_norm_s2d(e))
-    e = _se_chain(p, e, n_gates, pre)
+    if use_epi and pre is not None and "epi_wgs" in pre:
+        from ..ops.pallas_s2d import gated_norm_block
+
+        e = gated_norm_block(e, pre["epi_wgs"], pre["epi_oh"])
+    else:
+        e = leaky_relu(instance_norm_s2d(e))
+        e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
@@ -447,7 +469,8 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
 
 def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                         n_gates: int = 1, use_pallas: bool = False,
-                        pre=None, mode: str = "grouped"):
+                        pre=None, mode: str = "grouped",
+                        use_epi: bool = False):
     """SSEConv with dilation 2 on an s2d tensor: a dil-2 conv on the
     full grid is exactly 8 independent dil-1 convs on the sub-grids.
 
@@ -480,6 +503,15 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
             wg = jnp.tile(p["conv"]["w"], (1, 1, 1, 1, 8))
             bg = jnp.tile(p["conv"]["b"], 8)
         y = conv3d(x, wg, bg, padding=1, groups=8)
+        if use_epi and pre is not None and "epi_wgs" in pre:
+            from ..ops.pallas_s2d import gated_norm_block
+
+            e = gated_norm_block(y, pre["epi_wgs"], pre["epi_oh"])
+            if not want_side:
+                return e, None
+            from ..ops.s2d import grouped_pointwise as _gp
+
+            return e, _gp(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
         e = leaky_relu(instance_norm_s2d(y))
     else:
         b = x.shape[0]
@@ -501,7 +533,7 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
     return e, side
 
 
-def _cat_block_s2d(p: Params, x, pre=None):
+def _cat_block_s2d(p: Params, x, pre=None, use_epi: bool = False):
     """CATConv on one s2d tensor or a LIST of them: a list is consumed
     as a plain channel concat with the interleave permutation folded
     into the block-diagonal pointwise weight (zero data movement for
@@ -517,12 +549,16 @@ def _cat_block_s2d(p: Params, x, pre=None):
         y = grouped_pointwise_multi_pre(xs, pre["wd"])
     else:
         y = grouped_pointwise_multi(xs, p["conv"]["w"][0, 0, 0])
+    if use_epi:
+        from ..ops.pallas_s2d import gated_norm_block
+
+        return gated_norm_block(y, None, None)
     return leaky_relu(instance_norm_s2d(y))
 
 
 def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
                           n_gates: int = 1, use_pallas: bool = False,
-                          pre=None):
+                          pre=None, use_epi: bool = False):
     """SSEConv (one SE gate) on an s2d tensor via the per-output-phase
     conv decomposition — used for all full-res and 1/2-res blocks. A
     list input is a plain concat; the interleave goes into the lifted
@@ -553,7 +589,14 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
         w_all, b_all = phased_conv_weights(
             p["conv"]["w"], p["conv"]["b"], splits
         )
-    if use_pallas:
+    if use_epi and pre is not None and "epi_wgs" in pre:
+        from ..ops.pallas_s2d import phased_gated_block
+
+        # conv on XLA, gather+IN+LReLU+SE as one fused Pallas pass
+        e = phased_gated_block(
+            tuple(xs), w_all, b_all, pre["epi_wgs"], pre["epi_oh"]
+        )
+    elif use_pallas:
         from ..ops.pallas_s2d import phased_conv_stats
 
         xc = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
@@ -562,10 +605,11 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
             b_all.astype(jnp.float32),
         )
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
+        e = _se_chain(p, e, n_gates, pre)
     else:
         # list input: the concat folds into per-input kernel row slices
         e = conv3_s2d_phased_fused(xs, w_all, b_all)
-    e = _se_chain(p, e, n_gates, pre)
+        e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None
     side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
@@ -735,6 +779,12 @@ def apply_fast(
     # mismatch on non-concat dimension") — opt-in separately until the
     # im2col build is restructured
     upl_dil2 = upl and os.environ.get("PALLAS_DIL2", "0") == "1"
+    # fused Pallas epilogue for the phased blocks (conv stays on XLA)
+    if cfg.use_pallas_epi is None:
+        epi = (jax.default_backend() in ("tpu", "axon")
+               and os.environ.get("PALLAS_EPI", "1") == "1")
+    else:
+        epi = bool(cfg.use_pallas_epi)
 
     if cfg.remat:
         # rematerialize each block in backward so 128^3 crop training
@@ -748,7 +798,9 @@ def apply_fast(
         _sse_block_s2d_dil2 = _wrap(globals()["_sse_block_s2d_dil2"])
         _sse_block_s2d_phased = _wrap(globals()["_sse_block_s2d_phased"])
         _sse_block = _wrap(globals()["_sse_block"])
-        _cat_block_s2d = jax.checkpoint(globals()["_cat_block_s2d"])
+        # _wrap (not bare jax.checkpoint): pre/use_epi stay closed
+        # over, so the static bool never becomes a traced leaf
+        _cat_block_s2d = _wrap(globals()["_cat_block_s2d"])
         _cat_block = jax.checkpoint(globals()["_cat_block"])
     else:
         _sse_block_s2d = globals()["_sse_block_s2d"]
@@ -760,14 +812,16 @@ def apply_fast(
 
     # ---- encoder level 1 (s2d) ----
     xs = space_to_depth(x)  # (B, n, n, n, 16)
-    e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"])
-    e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"])
+    e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"],
+                           use_epi=epi)
+    e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"],
+                           use_epi=epi)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
                                   use_pallas=upl_dil2, pre=fp["ec3"],
-                                  mode=cfg.dil2_mode)
+                                  mode=cfg.dil2_mode, use_epi=epi)
     f0, f1, f2 = e0, e1, e1_1  # head features
-    e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], fp["ec33"])
-    e1 = e1 + _cat_block_s2d(p["x33"], xs, fp["x33"])
+    e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], pre=fp["ec33"], use_epi=epi)
+    e1 = e1 + _cat_block_s2d(p["x33"], xs, pre=fp["x33"], use_epi=epi)
     e2 = max_pool_s2d(e1)  # exits s2d: (B, n, n, n, 32)
     x2 = max_pool_s2d(xs)
 
@@ -775,16 +829,18 @@ def apply_fast(
     e2s = space_to_depth(e2)
     x2s = space_to_depth(x2)
     e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2,
-                                   use_pallas=upl, pre=fp["ec4"])
+                                   use_pallas=upl, pre=fp["ec4"],
+                                   use_epi=epi)
     e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2,
                                  use_pallas=upl_dil2, pre=fp["ec5"],
-                                 mode=cfg.dil2_mode)
+                                 mode=cfg.dil2_mode, use_epi=epi)
     e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2,
                                    use_pallas=upl_dil2, pre=fp["ec6"],
-                                   mode=cfg.dil2_mode)
+                                   mode=cfg.dil2_mode, use_epi=epi)
     f3, f4, f5 = e2s, e3s, e3_1s
-    e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], fp["ec63"])
-    e3s = e3s + _cat_block_s2d(p["x63"], x2s, fp["x63"])
+    e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], pre=fp["ec63"],
+                         use_epi=epi)
+    e3s = e3s + _cat_block_s2d(p["x63"], x2s, pre=fp["x63"], use_epi=epi)
     e4 = max_pool_s2d(e3s)
     x3 = max_pool_s2d(x2s)
 
@@ -815,20 +871,24 @@ def apply_fast(
     m = d0.shape[1]
     d1s = upsample_to_s2d(d0, 2, pair=interp.get((m, 2 * m)))
     d1s, _ = _sse_block_s2d_phased(p["dc3"], [d1s, e3s], want_side=False,
-                                   n_gates=2, use_pallas=upl, pre=fp["dc3"])
+                                   n_gates=2, use_pallas=upl, pre=fp["dc3"],
+                                   use_epi=epi)
     d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False,
-                                     n_gates=2, use_pallas=upl, pre=fp["dc4"])
+                                     n_gates=2, use_pallas=upl, pre=fp["dc4"],
+                                     use_epi=epi)
     f14, f15 = d1s, d1_1s
-    d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s], fp["dc42"])
+    d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s], pre=fp["dc42"], use_epi=epi)
 
     # ---- decoder level 1 (full res, all in s2d) ----
     d1f = depth_to_space(d1s)
     m = d1f.shape[1]
     up_s = upsample_to_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
     d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False,
-                                  use_pallas=upl, pre=fp["dc5"])
+                                  use_pallas=upl, pre=fp["dc5"],
+                                  use_epi=epi)
     d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False,
-                                    use_pallas=upl, pre=fp["dc6"])
+                                    use_pallas=upl, pre=fp["dc6"],
+                                    use_epi=epi)
     f16, f17 = d2, d2_1
     # dc62's output feeds nothing in the reference forward (its result
     # is dead after SE_UNet.py:230) — skipped here; XLA would DCE it.

@@ -421,6 +421,393 @@ def _dil2_bwd(res, cts):
 dil2_conv_stats.defvjp(_dil2_fwd, _dil2_bwd)
 
 
+def _epi_pick_tile(n: int, cout: int) -> tuple[int, int] | None:
+    """(tz, ty) for the epilogue kernel. VMEM: double-buffered haloed
+    input tile + bf16 assembly scratch + double-buffered output block
+    + the transient f32 value of the full-width normalize (Mosaic
+    keeps it live while storing back)."""
+    budget = 9 * 1024 * 1024
+    xw = _pad8(n + 1)
+    best, best_vol = None, 0
+    for tz in (4, 8, 16):
+        for ty in (4, 8, 16):
+            if n % tz or n % ty:
+                continue
+            xs2 = 2 * (tz + 1) * (ty + 1) * xw * cout * 2
+            acc = tz * ty * n * cout * 2
+            out2 = 2 * tz * ty * n * cout * 2
+            val = tz * ty * n * cout * 4
+            if xs2 + acc + out2 + val <= budget and tz * ty > best_vol:
+                best, best_vol = (tz, ty), tz * ty
+    return best
+
+
+def _epilogue_kernel(tz, ty, n, co, n_gates, nz, ny, out_dtype,
+                     y_hbm, scale_ref, shift_ref, wg_ref, oh_ref,
+                     out_ref, xs, acc_ref, sems):
+    """Phase gather + InstanceNorm affine + LeakyReLU + SE gate(s) in
+    one pass over the conv's extended (n+1)^3 output.
+
+    Grid (B, n/tz, n/ty); per step a double-buffered DMA brings the
+    (tz+1, ty+1, n+1, 8Co) haloed tile in while the previous tile
+    computes. The 8 phase windows are static sublane-shifted slices
+    stored into the assembly scratch's lane blocks (the proven pattern
+    of _phased_kernel — Mosaic rejects lane-CONCAT of shifted slices,
+    but lane-blocked stores are fine). Gates use the padded-N trick:
+    sigmoid(e @ wg[.., :128]) has full 128 lanes, and the zero-padded
+    one-hot rows drop the sigmoid(0)=0.5 garbage on re-expansion."""
+    b = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    step = (b * nz + zi) * ny + yi
+    total = pl.num_programs(0) * nz * ny
+
+    def get_dma(slot, bb, zz, yy):
+        return pltpu.make_async_copy(
+            y_hbm.at[bb, pl.ds(zz * tz, tz + 1), pl.ds(yy * ty, ty + 1)],
+            xs.at[slot],
+            sems.at[slot],
+        )
+
+    slot = lax.rem(step, 2)
+    nxt = step + 1
+    b2 = lax.div(nxt, nz * ny)
+    r = lax.rem(nxt, nz * ny)
+    zi2 = lax.div(r, ny)
+    yi2 = lax.rem(r, ny)
+
+    @pl.when(step == 0)
+    def _():
+        get_dma(0, b, zi, yi).start()
+
+    @pl.when(nxt < total)
+    def _():
+        get_dma(1 - slot, b2, zi2, yi2).start()
+
+    get_dma(slot, b, zi, yi).wait()
+
+    # assemble the 8 phase windows into lane blocks of the scratch
+    for q in range(8):
+        az, ay, ax = (q >> 2) & 1, (q >> 1) & 1, q & 1
+        acc_ref[:, :, :, q * co : (q + 1) * co] = xs[
+            slot, az : az + tz, ay : ay + ty, ax : ax + n,
+            q * co : (q + 1) * co,
+        ]
+    e = acc_ref[...].astype(jnp.float32)
+    e = e * scale_ref[0, 0] - shift_ref[0, 0]
+    e = jnp.where(e >= 0, e, 0.01 * e).astype(out_dtype)  # torch default slope
+    for g in range(n_gates):
+        logits = lax.dot_general(
+            e, wg_ref[g], (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gate = jax.nn.sigmoid(logits).astype(out_dtype)
+        gb = lax.dot_general(
+            gate, oh_ref[...], (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+        e = e * gb
+    out_ref[0] = e
+
+
+def phased_finalize(y_ext, scale8, shift8, wgs, oh):
+    """y_ext (B, n+1, n+1, n+1, 8Co) extended phased-conv output ->
+    gated activations (B, n, n, n, 8Co).
+
+    scale8/shift8: (B, 8Co) f32, the InstanceNorm affine per
+    phase-channel (phase-tiled); wgs (G, 8Co, 128) zero-padded SE
+    kernels; oh (128, 8Co) zero-padded per-phase one-hot broadcast."""
+    bsz = y_ext.shape[0]
+    n = y_ext.shape[1] - 1
+    xw = y_ext.shape[3]  # x extent; n+8 when conv-emitted pre-aligned
+    cout = y_ext.shape[-1]
+    co = cout // 8
+    n_gates = wgs.shape[0]
+    if xw % 8:
+        return None  # unaligned minor spatial dim: Mosaic DMA rejects
+    tile = _epi_pick_tile(n, cout)
+    if tile is None:
+        return None
+    tz, ty = tile
+    nz, ny = n // tz, n // ty
+    kernel = partial(_epilogue_kernel, tz, ty, n, co, n_gates, nz, ny,
+                     y_ext.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nz, ny),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            # per-batch affine rows, sublane-replicated x8 (a (1, C)
+            # block has sublane extent 1, which Mosaic rejects)
+            pl.BlockSpec((1, 8, cout), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, cout), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_gates, cout, 128), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, cout), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tz, ty, n, cout), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, n, n, cout), y_ext.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tz + 1, ty + 1, xw, cout), y_ext.dtype),
+            pltpu.VMEM((tz, ty, n, cout), y_ext.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * n * n * cout * 128 * 2 * n_gates,
+            bytes_accessed=y_ext.size * 2 * 2,
+            transcendentals=bsz * n * n * n * 128,
+        ),
+        interpret=_use_interpret(),
+    )(
+        y_ext,
+        jnp.tile(scale8[:, None, :], (1, 8, 1)),
+        jnp.tile(shift8[:, None, :], (1, 8, 1)),
+        wgs,
+        oh,
+    )
+
+
+def _gathered_kernel(n_gates, out_dtype, y_ref, scale_ref, shift_ref,
+                     *rest):
+    """IN affine + LeakyReLU + SE gate(s) on an ALREADY-GATHERED s2d
+    tensor (dil-2 grouped convs, dense-lift convs, CATConv pointwise):
+    no halo, so Mosaic's automatic block pipelining double-buffers the
+    streaming; one read + one write per element."""
+    if n_gates:
+        wg_ref, oh_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    e = y_ref[0].astype(jnp.float32)
+    e = e * scale_ref[0, 0] - shift_ref[0, 0]
+    e = jnp.where(e >= 0, e, 0.01 * e).astype(out_dtype)
+    for g in range(n_gates):
+        logits = lax.dot_general(
+            e, wg_ref[g], (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gate = jax.nn.sigmoid(logits).astype(out_dtype)
+        gb = lax.dot_general(
+            gate, oh_ref[...], (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+        e = e * gb
+    out_ref[0] = e
+
+
+def _gathered_pick_tile(n: int, c: int) -> tuple[int, int] | None:
+    budget = 9 * 1024 * 1024
+    best, best_vol = None, 0
+    for tz in (4, 8, 16):
+        for ty in (4, 8, 16):
+            if n % tz or n % ty:
+                continue
+            s = tz * ty * n * c
+            if 8 * s + 4 * s <= budget and tz * ty > best_vol:
+                best, best_vol = (tz, ty), tz * ty
+    return best
+
+
+def gated_norm_finalize(y, scale8, shift8, wgs, oh):
+    """y (B, n, n, n, C) s2d conv output -> IN+LeakyReLU+SE gates in
+    one streamed Pallas pass. wgs/oh as in phased_finalize; wgs may
+    have 0 gates (CATConv blocks). Returns None when the shape misses
+    Mosaic's tiling constraints (callers fall back to XLA)."""
+    bsz, n = y.shape[0], y.shape[1]
+    c = y.shape[-1]
+    n_gates = int(wgs.shape[0]) if wgs is not None else 0
+    if c % 128 or n % 8:
+        return None
+    tile = _gathered_pick_tile(n, c)
+    if tile is None:
+        return None
+    tz, ty = tile
+    kernel = partial(_gathered_kernel, n_gates, y.dtype)
+    in_specs = [
+        pl.BlockSpec((1, tz, ty, n, c), lambda b, i, j: (b, i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, c), lambda b, i, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, c), lambda b, i, j: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [
+        y,
+        jnp.tile(scale8[:, None, :], (1, 8, 1)),
+        jnp.tile(shift8[:, None, :], (1, 8, 1)),
+    ]
+    if n_gates:
+        in_specs += [
+            pl.BlockSpec((n_gates, c, 128), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, c), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [wgs, oh]
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, n // tz, n // ty),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tz, ty, n, c), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * y.size * 128 * 2 * max(n_gates, 1),
+            bytes_accessed=y.size * 2 * 2,
+            transcendentals=y.size // 8 * max(n_gates, 1),
+        ),
+        interpret=_use_interpret(),
+    )(*args)
+
+
+def _xla_gated_norm_composition(y, wgs, oh):
+    """Pure-XLA reference/backward of the gathered epilogue."""
+    from .norms import leaky_relu
+    from .s2d import HP, instance_norm_s2d
+
+    e = leaky_relu(instance_norm_s2d(y))
+    n_gates = int(wgs.shape[0]) if wgs is not None else 0
+    for g in range(n_gates):
+        gate = jax.nn.sigmoid(
+            jnp.einsum("...i,ip->...p", e, wgs[g, :, :8].astype(e.dtype),
+                       precision=HP)
+        )
+        e = e * jnp.einsum("...p,pj->...j", gate, oh[:8].astype(e.dtype),
+                           precision=HP)
+    return e
+
+
+def _pallas_gated_norm_forward(y, wgs, oh, eps=1e-5):
+    b = y.shape[0]
+    c8 = y.shape[-1]
+    c = c8 // 8
+    nvox = y.shape[1] * y.shape[2] * y.shape[3] * 8
+    yf32 = y.astype(jnp.float32)
+    s1 = jnp.sum(yf32, axis=(1, 2, 3))  # (B, 8c)
+    s2 = jnp.sum(jnp.square(yf32), axis=(1, 2, 3))
+    mean = jnp.sum(s1.reshape(b, 8, c), axis=1) / nvox
+    ex2 = jnp.sum(s2.reshape(b, 8, c), axis=1) / nvox
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    out = gated_norm_finalize(y, scale8, shift8, wgs, oh)
+    if out is None:
+        return _xla_gated_norm_composition(y, wgs, oh)
+    return out
+
+
+@jax.custom_vjp
+def gated_norm_block(y, wgs, oh):
+    """Fused gathered-s2d epilogue: InstanceNorm + LeakyReLU + SE
+    gate(s) as one Pallas streaming pass (2 HBM passes total incl.
+    the XLA stats reduce, vs XLA's ~4). Backward = XLA composition."""
+    return _pallas_gated_norm_forward(y, wgs, oh)
+
+
+def _gn_fwd(y, wgs, oh):
+    return _pallas_gated_norm_forward(y, wgs, oh), (y, wgs, oh)
+
+
+def _gn_bwd(res, ct):
+    y, wgs, oh = res
+    _, vjp = jax.vjp(_xla_gated_norm_composition, y, wgs, oh)
+    return vjp(ct)
+
+
+gated_norm_block.defvjp(_gn_fwd, _gn_bwd)
+
+
+def _xla_gated_composition(xs, w_all, b_all, wgs, oh):
+    """Pure-XLA math of the gated phased block (conv + IN + LeakyReLU
+    + SE gates) — the backward path and the CPU/test reference. The
+    padded gate weights carry the exact unpadded kernels in their
+    first 8 gate lanes / rows."""
+    from .s2d import HP, conv3_s2d_phased_fused
+
+    e = conv3_s2d_phased_fused(list(xs), w_all, b_all)
+    for g in range(wgs.shape[0]):
+        gate = jax.nn.sigmoid(
+            jnp.einsum("...i,ip->...p", e, wgs[g, :, :8].astype(e.dtype),
+                       precision=HP)
+        )
+        e = e * jnp.einsum("...p,pj->...j", gate, oh[:8].astype(e.dtype),
+                           precision=HP)
+    return e
+
+
+def _pallas_gated_forward(xs, w_all, b_all, wgs, oh, eps=1e-5):
+    """XLA conv (list partial sums) + XLA window stats + Pallas fused
+    epilogue. Falls back to the full XLA composition when no tile
+    fits."""
+    from itertools import product as _product
+
+    from .conv import conv3d
+
+    xs = list(xs)
+    co = w_all.shape[-1] // 8
+    n = xs[0].shape[1]
+    # x-axis right-pad to 8: the conv emits an (n+1+7)-wide x extent so
+    # the kernel's HBM DMA reads a full (8-aligned) minor-most spatial
+    # dim — Mosaic rejects 65-wide slices of a 72-padded memref. Costs
+    # ~1% extra conv FLOPs on zeros; saves a full-tensor XLA pad pass.
+    pad = ((1, 1), (1, 1), (1, 8))
+    y = None
+    off = 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if y is None else None, padding=pad)
+        y = yt if y is None else y + yt
+        off += k
+    s1, s2 = 0.0, 0.0
+    for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
+        sl = y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
+        s1 = s1 + jnp.sum(sl, axis=(1, 2, 3), dtype=jnp.float32)
+        s2 = s2 + jnp.sum(jnp.square(sl.astype(jnp.float32)), axis=(1, 2, 3))
+    nvox = 8 * n * n * n
+    mean = s1 / nvox  # (B, Co) per ORIGINAL channel (phases share)
+    var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    out = phased_finalize(y, scale8, shift8, wgs, oh)
+    if out is None:
+        return _xla_gated_composition(tuple(xs), w_all, b_all, wgs, oh)
+    return out
+
+
+@jax.custom_vjp
+def phased_gated_block(xs, w_all, b_all, wgs, oh):
+    """Fused phased s2d conv block: conv (XLA, MXU-hot) + phase
+    gather + InstanceNorm + LeakyReLU + SE gate(s) as ONE Pallas
+    epilogue pass (vs XLA's ~5 full-tensor round trips). `xs` is a
+    tuple of s2d tensors forming a plain concat. Backward = exact XLA
+    composition."""
+    return _pallas_gated_forward(xs, w_all, b_all, wgs, oh)
+
+
+def _gated_fwd(xs, w_all, b_all, wgs, oh):
+    return _pallas_gated_forward(xs, w_all, b_all, wgs, oh), (
+        xs, w_all, b_all, wgs, oh)
+
+
+def _gated_bwd(res, ct):
+    xs, w_all, b_all, wgs, oh = res
+    _, vjp = jax.vjp(_xla_gated_composition, xs, w_all, b_all, wgs, oh)
+    return vjp(ct)
+
+
+phased_gated_block.defvjp(_gated_fwd, _gated_bwd)
+
+
 def _xla_composition(x, w_all, b_all):
     """Reference XLA math for the backward pass: pad-1 conv with the
     (2,2,2) phase-stacked kernel, 8-way shifted slice + concat, stats."""

@@ -1,0 +1,91 @@
+"""Parity of the fused Pallas epilogue block (interpret mode on CPU)
+against the pure-XLA composition: conv + phase gather + InstanceNorm
++ LeakyReLU + SE gates, and its custom_vjp backward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from se_unet_airseg_tpu.ops.pallas_s2d import (
+    _xla_gated_composition,
+    phased_gated_block,
+)
+from se_unet_airseg_tpu.ops.s2d import phased_conv_weights, se_gate_weights
+
+
+def _make_block(seed, n, cis, co, gates):
+    r = np.random.default_rng(seed)
+    ci_orig = sum(cis) // 8
+    w_all, b_all = phased_conv_weights(
+        jnp.asarray(r.standard_normal((3, 3, 3, ci_orig, co),
+                                      np.float32) * 0.1),
+        jnp.asarray(r.standard_normal(co, np.float32) * 0.1),
+        tuple(c // 8 for c in cis) if len(cis) > 1 else None,
+    )
+    xs = tuple(
+        jnp.asarray(r.standard_normal((2, n, n, n, c), np.float32))
+        for c in cis
+    )
+    wgs, oh = [], None
+    for _ in range(gates):
+        wse = jnp.asarray(r.standard_normal((co, 1), np.float32) * 0.1)
+        wg, oh_ = se_gate_weights(wse, jnp.float32)
+        wgs.append(jnp.pad(wg, ((0, 0), (0, 128 - wg.shape[1]))))
+        oh = jnp.pad(oh_, ((0, 128 - oh_.shape[0]), (0, 0)))
+    return xs, w_all, b_all, jnp.stack(wgs), oh
+
+
+@pytest.mark.parametrize(
+    "n,cis,co,gates",
+    [
+        (8, (128,), 16, 1),          # dc6-like (one input, one gate)
+        (8, (64, 64), 16, 2),        # dc3-like (plain concat, two gates)
+    ],
+)
+def test_epilogue_matches_xla(n, cis, co, gates):
+    xs, w_all, b_all, wgs, oh = _make_block(0, n, cis, co, gates)
+    out_p = phased_gated_block(xs, w_all, b_all, wgs, oh)
+    out_x = _xla_gated_composition(xs, w_all, b_all, wgs, oh)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=2e-6, rtol=1e-5
+    )
+
+
+def test_epilogue_grads_match_xla():
+    xs, w_all, b_all, wgs, oh = _make_block(1, 8, (64, 64), 16, 1)
+
+    def loss_p(a, b, w):
+        return jnp.sum(phased_gated_block((a, b), w, b_all, wgs, oh) ** 2)
+
+    def loss_x(a, b, w):
+        return jnp.sum(
+            _xla_gated_composition((a, b), w, b_all, wgs, oh) ** 2
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(*xs, w_all)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(*xs, w_all)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_model_epilogue_path_matches_default():
+    """apply_fast with use_pallas_epi=True (interpret mode on CPU)
+    equals the default fast path."""
+    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+    from se_unet_airseg_tpu.models.se_unet import apply_fast
+
+    cfg = SEUNetConfig()
+    cfg_epi = SEUNetConfig(use_pallas_epi=True)
+    params = init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 16, 16, 16, 2), np.float32)
+    )
+    a = apply_fast(params, x, cfg=cfg, train=False)
+    b = apply_fast(params, x, cfg=cfg_epi, train=False)
+    for ya, yb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(ya), np.asarray(yb), atol=2e-5, rtol=1e-4
+        )
