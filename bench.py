@@ -156,7 +156,7 @@ def _train_step_metrics():
     opt, _ = make_optimizer()
     state = create_train_state(params, opt)
     step = make_train_step(opt, cfg, stage=1)
-    bsz = int(os.environ.get("BENCH_TRAIN_B", "2"))
+    bsz = int(os.environ.get("BENCH_TRAIN_B", "8"))
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.random((bsz, 128, 128, 128, 2), np.float32)),
@@ -200,7 +200,7 @@ def bench_train():
     opt, _ = make_optimizer()
     state = create_train_state(params, opt)
     step = make_train_step(opt, cfg, stage=1)
-    bsz = int(os.environ.get("BENCH_TRAIN_B", "2"))
+    bsz = int(os.environ.get("BENCH_TRAIN_B", "8"))
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(

@@ -93,11 +93,18 @@ class SlidingWindowRunner:
         overlap accumulation stays replicated (XLA all-gathers the
         per-tile probabilities, which are small next to the forward).
         `batch` must be a multiple of the data-axis size."""
-        if mesh is not None and cfg.use_pallas is None:
-            # single-device Pallas kernels don't partition over a mesh
+        if mesh is not None:
+            # single-device Pallas kernels (conv and epilogue) don't
+            # partition over a mesh — force the XLA compositions
             import dataclasses as _dc
 
-            cfg = _dc.replace(cfg, use_pallas=False)
+            cfg = _dc.replace(
+                cfg,
+                use_pallas=(False if cfg.use_pallas is None
+                            else cfg.use_pallas),
+                use_pallas_epi=(False if cfg.use_pallas_epi is None
+                                else cfg.use_pallas_epi),
+            )
         self.params = params
         self.cfg = cfg
         self.cube = cube

@@ -26,6 +26,7 @@ runs in interpreter mode, keeping CPU tests hermetic.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -767,11 +768,61 @@ def _pallas_gated_forward(xs, w_all, b_all, wgs, oh, eps=1e-5):
                     b_all if y is None else None, padding=pad)
         y = yt if y is None else y + yt
         off += k
+    # Border-corrected window stats: 8 shifted-slice reduces force XLA
+    # to materialize a full gathered 6-D intermediate in a hostile
+    # layout (profiled 36 ms/batch at dc5 scale). Instead reduce the
+    # whole (n+1)^3 extent ONCE (dense, HBM-speed) and subtract the
+    # boundary slabs each phase window excludes via inclusion-
+    # exclusion — planes/edges/corners are O(1/n) of the volume.
+    f32 = jnp.float32
+    # n>=48: border-corrected dense stats (below) win by avoiding the
+    # materialized 6-D gather XLA builds for the 8 shifted-slice
+    # reduces; at small n the 26 tiny correction reduces cost more
+    # than they save (A/B: dc6 -2.5 ms, dc5 -3.5 ms, ec4 +4.5 ms).
+    mode = os.environ.get("EPI_STATS") or ("border" if n >= 48 else "slice")
+    if mode == "slice":
+        s1, s2 = 0.0, 0.0
+        for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
+            sl = y[:, a : a + n, bb : bb + n, c : c + n,
+                   q * co : (q + 1) * co]
+            s1 = s1 + jnp.sum(sl, axis=(1, 2, 3), dtype=f32)
+            s2 = s2 + jnp.sum(jnp.square(sl.astype(f32)), axis=(1, 2, 3))
+        return _finish_phased(y, s1, s2, n, wgs, oh, xs, w_all, b_all, eps)
+    yb = y[:, :, :, : n + 1]  # drop the x alignment pad (bias-nonzero)
+
+    def _sums(t, axes):
+        return (jnp.sum(t, axis=axes, dtype=f32),
+                jnp.sum(jnp.square(t.astype(f32)), axis=axes))
+
+    F = _sums(yb, (1, 2, 3))
+    Pz = {k: _sums(yb[:, k], (1, 2)) for k in (0, n)}
+    Py = {k: _sums(yb[:, :, k], (1, 2)) for k in (0, n)}
+    Px = {k: _sums(yb[:, :, :, k], (1, 2)) for k in (0, n)}
+    Ezy = {(i, j): _sums(yb[:, i, j], (1,)) for i in (0, n) for j in (0, n)}
+    Ezx = {(i, j): _sums(yb[:, i, :, j], (1,))
+           for i in (0, n) for j in (0, n)}
+    Eyx = {(i, j): _sums(yb[:, :, i, j], (1,))
+           for i in (0, n) for j in (0, n)}
+    Cr = {(i, j, k): (yb[:, i, j, k].astype(f32),
+                      jnp.square(yb[:, i, j, k].astype(f32)))
+          for i in (0, n) for j in (0, n) for k in (0, n)}
     s1, s2 = 0.0, 0.0
     for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
-        sl = y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
-        s1 = s1 + jnp.sum(sl, axis=(1, 2, 3), dtype=jnp.float32)
-        s2 = s2 + jnp.sum(jnp.square(sl.astype(jnp.float32)), axis=(1, 2, 3))
+        # phase window [a:a+n) excludes plane z=n when a==0, z=0 when a==1
+        kz, ky, kx = (0 if a else n), (0 if bb else n), (0 if c else n)
+        sl = slice(q * co, (q + 1) * co)
+        for acc_i in (0, 1):
+            w = (F[acc_i] - Pz[kz][acc_i] - Py[ky][acc_i] - Px[kx][acc_i]
+                 + Ezy[(kz, ky)][acc_i] + Ezx[(kz, kx)][acc_i]
+                 + Eyx[(ky, kx)][acc_i] - Cr[(kz, ky, kx)][acc_i])
+            if acc_i == 0:
+                s1 = s1 + w[:, sl]
+            else:
+                s2 = s2 + w[:, sl]
+    return _finish_phased(y, s1, s2, n, wgs, oh, xs, w_all, b_all, eps)
+
+
+def _finish_phased(y, s1, s2, n, wgs, oh, xs, w_all, b_all, eps):
     nvox = 8 * n * n * n
     mean = s1 / nvox  # (B, Co) per ORIGINAL channel (phases share)
     var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)

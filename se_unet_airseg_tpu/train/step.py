@@ -136,13 +136,19 @@ def make_train_step(
     """
 
     apply_fn = apply_fast if fast else se_unet_apply
-    if mesh is not None and cfg.use_pallas is None:
-        # the fused Pallas kernels are single-device programs; under a
-        # sharded mesh the partitioner would have to gather around
-        # them — force the (equivalent, tested) XLA composition
+    if mesh is not None:
+        # the fused Pallas kernels (conv AND epilogue) are
+        # single-device programs; under a sharded mesh the partitioner
+        # would have to gather around them — force the (equivalent,
+        # tested) XLA compositions
         import dataclasses as _dc
 
-        cfg = _dc.replace(cfg, use_pallas=False)
+        cfg = _dc.replace(
+            cfg,
+            use_pallas=False if cfg.use_pallas is None else cfg.use_pallas,
+            use_pallas_epi=(False if cfg.use_pallas_epi is None
+                            else cfg.use_pallas_epi),
+        )
 
     def loss_fn(params, batch, rng):
         en, de = apply_fn(
