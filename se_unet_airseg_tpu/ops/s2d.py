@@ -374,6 +374,18 @@ def instance_norm_from_stats(
     return (y.astype(jnp.float32) * scale8 - shift8).astype(y.dtype)
 
 
+def dil2_dense_weight(w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Block-diagonal dense lift of a dil-2 s2d kernel: (3,3,3,Ci,Co)
+    -> (3,3,3,8Ci,8Co) with w on the 8 (group, group) blocks and zeros
+    elsewhere. Used for narrow blocks where the grouped-conv emitter's
+    per-group lane padding costs more than 8x structurally-zero FLOPs
+    (differentiable — the training path builds it in-trace)."""
+    eye = jnp.eye(8, dtype=dtype)
+    wd = jnp.einsum("dhwio,gk->dhwgiko", w.astype(dtype), eye)
+    k, ci, co = w.shape[0], w.shape[3], w.shape[4]
+    return wd.reshape(k, k, k, 8 * ci, 8 * co)
+
+
 def grouped_pointwise_multi_weight(
     w: jnp.ndarray, channel_counts: tuple, dtype
 ) -> jnp.ndarray:
