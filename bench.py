@@ -9,18 +9,19 @@ on-device double-threshold packing (2-bit trits, 16x smaller
 download) -> host DTI hysteresis + largest-26-CC -> binary mask.
 
 Measurement design (VERDICT r2 items 2-3):
-  * steady-state MULTI-VOLUME windows: each timed window dispatches
-    BENCH_VOLS volumes back-to-back and fetches results in order, so
-    the tunneled ~7 MB/s trit downloads overlap the next volume's
-    device compute (the reference's test loop likewise streams 73
-    volumes; single-volume timing would charge the tunnel's download
-    latency against the chip);
+  * a CONTINUOUS bounded-depth pipeline: BENCH_DEPTH volumes stay in
+    flight, results are fetched in order and each fetch immediately
+    dispatches a replacement, so the tunneled ~7 MB/s trit downloads
+    overlap later volumes' device compute (the reference's test loop
+    likewise streams 73 volumes; window-at-a-time timing charges each
+    window's last download against the chip);
   * the jit/Mosaic compile cache is pre-warmed before the timed
-    window, and a persistent compilation cache under .jax_cache makes
+    stream, and a persistent compilation cache under .jax_cache makes
     driver re-runs skip the (serial, slow) relay compiles entirely;
-  * BENCH_RUNS windows (default 9), reporting the median with p50/p90
-    and rel_spread so round-over-round deltas are distinguishable from
-    tunnel jitter.
+  * the stream is scored per window of BENCH_VOLS volumes from the
+    fetch timeline (BENCH_RUNS windows, first discarded while the
+    pipeline fills), reporting the median with p50/p90 and rel_spread
+    so round-over-round deltas are distinguishable from tunnel jitter.
 
 Throughput unit: 128^3 tiles/sec/chip (BASELINE.md north star).
 vs_baseline compares against an A100 PyTorch estimate of 14 tiles/s
@@ -89,31 +90,39 @@ def bench_inference():
             vol, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0
         )
 
-    def window():
-        """One steady-state window: dispatch all volumes, fetch in
-        order (downloads overlap later volumes' compute)."""
-        outs = [dispatch(v) for v in vols]
-        return [np.asarray(packed) for packed, _, _ in outs]
+    # warmup: compile (served from .jax_cache when present) + one
+    # volume so the timed stream is pure steady state
+    fetched = [np.asarray(dispatch(vols[0])[0])]
 
-    # warmup: compile + one full window so the timed runs are pure
-    # steady state (compile served from .jax_cache when present)
-    window()
-    fetched = window()
-
+    # continuous bounded-depth pipeline: keep `depth` volumes in
+    # flight, fetch in order, dispatch a replacement after each fetch
+    # — the steady state the reference's 73-volume test loop runs in.
+    # Window boundaries (dispatch-all / fetch-all) charge each
+    # window's LAST tunneled download against the chip; the stream
+    # hides every download behind later volumes' compute.
     n_tiles = len(pad_positions_to_batch(tile_positions(shape), runner.batch))
-    runs = []
-    for _ in range(int(os.environ.get("BENCH_RUNS", "9"))):
-        t0 = time.perf_counter()
-        window()
-        run = time.perf_counter() - t0
+    depth = int(os.environ.get("BENCH_DEPTH", "4"))
+    n_stream = n_vols * int(os.environ.get("BENCH_RUNS", "7"))
+    inflight = [dispatch(vols[i % n_vols]) for i in range(depth)]
+    ts = [time.perf_counter()]
+    for i in range(n_stream):
+        packed, _, _ = inflight.pop(0)
+        np.asarray(packed)
+        j = i + depth
+        if j < n_stream + depth - 1:
+            inflight.append(dispatch(vols[j % n_vols]))
+        ts.append(time.perf_counter())
         if os.environ.get("BENCH_DEBUG"):
-            print(f"window ({n_vols} vols): {run:.2f}s", file=sys.stderr)
-        runs.append(run)
-    runs.sort()
-    p50 = runs[len(runs) // 2]
-    p90 = runs[min(len(runs) - 1, int(round(0.9 * (len(runs) - 1))))]
+            print(f"vol {i}: {ts[-1] - ts[-2]:.2f}s", file=sys.stderr)
+    # per-window (n_vols volumes) rates from the fetch timeline,
+    # skipping the first window while the pipeline fills
+    iv = np.diff(np.asarray(ts))[n_vols:]
+    blocks = np.sort(iv.reshape(-1, n_vols).sum(axis=1))
+    p50 = float(blocks[len(blocks) // 2])
+    p90 = float(blocks[min(len(blocks) - 1,
+                           int(round(0.9 * (len(blocks) - 1))))])
     tiles_per_s = n_vols * n_tiles / p50
-    spread = (runs[-1] - runs[0]) / p50
+    spread = float((blocks[-1] - blocks[0]) / p50)
 
     # host post-processing chain: end-to-end coverage, not timed (the
     # reference's throughput unit is inference+stitching). The volume
