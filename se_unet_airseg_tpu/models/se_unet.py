@@ -75,6 +75,12 @@ class SEUNetConfig:
     # (bitwise-equal to the polyphase path, none of its two
     # full-tensor transposes); "polyphase" keeps the transpose form.
     dil2_mode: str = "grouped"
+    # batch-minor fast path: all apply_fast interior tensors are
+    # (D, H, W, B, C) — the TPU conv emitter's native order — so the
+    # {4,0,3,2,1} relayout copies XLA inserts around every conv in
+    # batch-major layout vanish. None resolves to the FASTPATH_BM env
+    # var (default OFF until the Pallas epilogues are ported).
+    batch_minor: bool | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -174,22 +180,34 @@ def num_params(params: Params) -> int:
 
 
 def _sse_block(p: Params, x, *, dilation: int, up: int, n_gates: int,
-               want_side: bool = True):
-    """Conv3 -> IN -> LeakyReLU -> SE gate(s) -> (features, side@full-res)."""
-    e = conv3d(x, p["conv"]["w"], p["conv"]["b"], padding=dilation, dilation=dilation)
-    e = leaky_relu(instance_norm(e))
+               want_side: bool = True, bm: bool = False):
+    """Conv3 -> IN -> LeakyReLU -> SE gate(s) -> (features, side@full-res).
+    `bm`: batch-minor (D,H,W,B,C) tensors (fast-path levels 3/4)."""
+    e = conv3d(x, p["conv"]["w"], p["conv"]["b"], padding=dilation,
+               dilation=dilation, batch_minor=bm)
+    e = leaky_relu(instance_norm(e, batch_minor=bm))
     for g in range(n_gates):
-        gate = jax.nn.sigmoid(conv3d(e, p[f"se{g}"]["w"]))
+        gate = jax.nn.sigmoid(conv3d(e, p[f"se{g}"]["w"], batch_minor=bm))
         e = e * gate
     if not want_side:
         return e, None
-    side = conv3d(e, p["side"]["w"], p["side"]["b"])
-    side = upsample_trilinear(side, up)
+    side = conv3d(e, p["side"]["w"], p["side"]["b"], batch_minor=bm)
+    side = upsample_trilinear(side, up) if not bm else (
+        side if up == 1 else _upsample_bm_err(up))
     return e, side
 
 
-def _cat_block(p: Params, x):
-    return leaky_relu(instance_norm(conv3d(x, p["conv"]["w"])))
+def _upsample_bm_err(up):
+    raise NotImplementedError(
+        "batch-minor _sse_block side upsample (fast path uses up=1)"
+    )
+
+
+def _cat_block(p: Params, x, bm: bool = False):
+    return leaky_relu(
+        instance_norm(conv3d(x, p["conv"]["w"], batch_minor=bm),
+                      batch_minor=bm)
+    )
 
 
 def _drop_layer(key, x, threshold: float, train: bool):
@@ -441,7 +459,7 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
 
 
 def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
-                   pre=None, use_epi: bool = False):
+                   pre=None, use_epi: bool = False, bm: bool = False):
     """SSEConv (one SE gate) on an s2d tensor via the block-lifted
     dense 3^3 conv — the XLA path for the narrow full-res encoder
     blocks (ec1/ec2). The lift costs 8x the original FLOPs but (at
@@ -461,13 +479,16 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
     else:
         wb = conv3_weight_to_s2d(p["conv"]["w"])
         bb = bias_to_s2d(p["conv"]["b"])
-    e = conv3d(x, wb, bb, padding=1)
-    if use_epi and pre is not None and "epi_wgs" in pre:
+    e = conv3d(x, wb, bb, padding=1, batch_minor=bm)
+    if use_epi and not bm and pre is not None and "epi_wgs" in pre:
         from ..ops.pallas_s2d import gated_norm_block
 
         e = gated_norm_block(e, pre["epi_wgs"], pre["epi_oh"])
     else:
-        e = leaky_relu(instance_norm_s2d(e))
+        from ..ops.s2d import instance_norm_s2d_bm
+
+        norm = instance_norm_s2d_bm if bm else instance_norm_s2d
+        e = leaky_relu(norm(e))
         e = _se_chain(p, e, n_gates, pre)
     if not want_side:
         return e, None
@@ -478,7 +499,7 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
 def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                         n_gates: int = 1, use_pallas: bool = False,
                         pre=None, mode: str = "grouped",
-                        use_epi: bool = False):
+                        use_epi: bool = False, bm: bool = False):
     """SSEConv with dilation 2 on an s2d tensor: a dil-2 conv on the
     full grid is exactly 8 independent dil-1 convs on the sub-grids.
 
@@ -500,12 +521,12 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         to_polyphase,
     )
 
-    if use_pallas:
+    if use_pallas and not bm:
         from ..ops.pallas_s2d import dil2_conv_stats
 
         y, s1, s2 = dil2_conv_stats(x, p["conv"]["w"], p["conv"]["b"])
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
-    elif mode == "grouped":
+    elif mode == "grouped" or bm:
         w = p["conv"]["w"]
         if w.shape[3] <= 16:
             # narrow blocks (ec3: 16-ch groups): the TPU grouped-conv
@@ -517,15 +538,15 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
             else:
                 wd = dil2_dense_weight(w, x.dtype)
                 bg = jnp.tile(p["conv"]["b"], 8)
-            y = conv3d(x, wd, bg, padding=1)
+            y = conv3d(x, wd, bg, padding=1, batch_minor=bm)
         else:
             if pre is not None and "wg" in pre:
                 wg, bg = pre["wg"], pre["bg"]
             else:
                 wg = jnp.tile(w, (1, 1, 1, 1, 8))
                 bg = jnp.tile(p["conv"]["b"], 8)
-            y = conv3d(x, wg, bg, padding=1, groups=8)
-        if use_epi and pre is not None and "epi_wgs" in pre:
+            y = conv3d(x, wg, bg, padding=1, groups=8, batch_minor=bm)
+        if use_epi and not bm and pre is not None and "epi_wgs" in pre:
             from ..ops.pallas_s2d import gated_norm_block
 
             e = gated_norm_block(y, pre["epi_wgs"], pre["epi_oh"])
@@ -534,7 +555,12 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
             from ..ops.s2d import grouped_pointwise as _gp
 
             return e, _gp(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
-        e = leaky_relu(instance_norm_s2d(y))
+        if bm:
+            from ..ops.s2d import instance_norm_s2d_bm
+
+            e = leaky_relu(instance_norm_s2d_bm(y))
+        else:
+            e = leaky_relu(instance_norm_s2d(y))
     else:
         b = x.shape[0]
         xp = to_polyphase(x)
@@ -555,7 +581,8 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
     return e, side
 
 
-def _cat_block_s2d(p: Params, x, pre=None, use_epi: bool = False):
+def _cat_block_s2d(p: Params, x, pre=None, use_epi: bool = False,
+                   bm: bool = False):
     """CATConv on one s2d tensor or a LIST of them: a list is consumed
     as a plain channel concat with the interleave permutation folded
     into the block-diagonal pointwise weight (zero data movement for
@@ -564,6 +591,7 @@ def _cat_block_s2d(p: Params, x, pre=None, use_epi: bool = False):
         grouped_pointwise_multi,
         grouped_pointwise_multi_pre,
         instance_norm_s2d,
+        instance_norm_s2d_bm,
     )
 
     xs = list(x) if isinstance(x, (list, tuple)) else [x]
@@ -571,16 +599,18 @@ def _cat_block_s2d(p: Params, x, pre=None, use_epi: bool = False):
         y = grouped_pointwise_multi_pre(xs, pre["wd"])
     else:
         y = grouped_pointwise_multi(xs, p["conv"]["w"][0, 0, 0])
-    if use_epi:
+    if use_epi and not bm:
         from ..ops.pallas_s2d import gated_norm_block
 
         return gated_norm_block(y, None, None)
-    return leaky_relu(instance_norm_s2d(y))
+    norm = instance_norm_s2d_bm if bm else instance_norm_s2d
+    return leaky_relu(norm(y))
 
 
 def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
                           n_gates: int = 1, use_pallas: bool = False,
-                          pre=None, use_epi: bool = False):
+                          pre=None, use_epi: bool = False,
+                          bm: bool = False):
     """SSEConv (one SE gate) on an s2d tensor via the per-output-phase
     conv decomposition — used for all full-res and 1/2-res blocks. A
     list input is a plain concat; the interleave goes into the lifted
@@ -589,6 +619,7 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
     kernel (ops/pallas_s2d.py)."""
     from ..ops.s2d import (
         conv3_s2d_phased_fused,
+        conv3_s2d_phased_fused_bm,
         grouped_pointwise,
         instance_norm_from_stats,
         phased_conv_weights,
@@ -602,6 +633,7 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
     # (ec1/ec2) on the XLA composition
     use_pallas = (
         use_pallas
+        and not bm
         and total_c >= 128
         and 8 * p["conv"]["w"].shape[4] >= 128
     )
@@ -611,7 +643,10 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
         w_all, b_all = phased_conv_weights(
             p["conv"]["w"], p["conv"]["b"], splits
         )
-    if use_epi and pre is not None and "epi_wgs" in pre:
+    if bm:
+        e = conv3_s2d_phased_fused_bm(xs, w_all, b_all)
+        e = _se_chain(p, e, n_gates, pre)
+    elif use_epi and pre is not None and "epi_wgs" in pre:
         from ..ops.pallas_s2d import phased_gated_block
 
         # conv on XLA, gather+IN+LReLU+SE as one fused Pallas pass
@@ -640,18 +675,17 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
 
 def _s2d_cat(*tensors):
     """Channel-concat of s2d tensors per sub-position (matches the
-    reference's full-res torch.cat order)."""
-    parts = []
-    for t in tensors:
-        b, d, h, w, c8 = t.shape
-        parts.append(t.reshape(b, d, h, w, 8, c8 // 8))
+    reference's full-res torch.cat order). Layout-agnostic: only the
+    trailing channel axis is touched."""
+    parts = [
+        t.reshape(*t.shape[:-1], 8, t.shape[-1] // 8) for t in tensors
+    ]
     y = jnp.concatenate(parts, axis=-1)
-    b, d, h, w, _, _ = y.shape
-    return y.reshape(b, d, h, w, -1)
+    return y.reshape(*y.shape[:-2], -1)
 
 
 def _composed_head(metas, head_p, key, threshold: float, train: bool,
-                   interp=None):
+                   interp=None, bm: bool = False):
     """Deep-supervision head WITHOUT materializing side outputs.
 
     The reference head is conv1x1(DropLayer(cat(upsample(side_i)))):
@@ -668,11 +702,19 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool,
     upsample by `scale` (grouped per scale before upsampling).
     Returns (B, 2n, 2n, 2n, 1) logits.
     """
-    from ..ops.s2d import depth_to_space, upsample_to_s2d
+    from ..ops.s2d import (
+        depth_to_space,
+        depth_to_space_bm,
+        depth_to_space_exit_bm,
+        upsample_to_s2d,
+        upsample_to_s2d_bm,
+    )
 
+    d2s = depth_to_space_bm if bm else depth_to_space
+    up_s2d = upsample_to_s2d_bm if bm else upsample_to_s2d
     c_total = head_p["w"].shape[3]
     hw = head_p["w"][0, 0, 0, :, 0].astype(jnp.float32)  # (C,)
-    batch = metas[0][0].shape[0]
+    batch = metas[0][0].shape[3 if bm else 0]
     if train:
         r = jax.random.uniform(key, (batch, 1, 1, 1, c_total), jnp.float32)
         mask = (r >= threshold).astype(jnp.float32)
@@ -711,54 +753,67 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool,
                 else:
                     # s2d at a coarser grid: unfold to that grid's full
                     # resolution, then the per-scale upsample handles it
-                    c6 = depth_to_space(contrib)
+                    c6 = d2s(contrib)
                     per_scale[sc] = c6 if sc not in per_scale else per_scale[sc] + c6
             else:
                 contrib = jnp.einsum(
-                    "bdhwc,c->bdhw", feat, w1.astype(feat.dtype)
+                    "dhwbc,c->dhwb" if bm else "bdhwc,c->bdhw",
+                    feat, w1.astype(feat.dtype)
                 )[..., None].astype(jnp.float32)
                 per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
             continue
         w_eff = jnp.einsum("ce,be->bc", w_side, whe)  # (B, Ci) f32
         if kind in ("s2d", "s2d_up"):
             c8 = feat.shape[-1]
-            b_ = feat.shape[0]
+            b_ = feat.shape[3 if bm else 0]
             wk = jnp.einsum("pq,bc->bpcq", eye8, w_eff).reshape(b_, c8, 8)
             contrib = jnp.einsum(
-                "bdhwk,bkp->bdhwp", feat, wk.astype(feat.dtype),
+                "dhwbk,bkp->dhwbp" if bm else "bdhwk,bkp->bdhwp",
+                feat, wk.astype(feat.dtype),
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.float32)
             if kind == "s2d":
                 total = contrib if total is None else total + contrib
             else:
-                c6 = depth_to_space(contrib)
+                c6 = d2s(contrib)
                 per_scale[sc] = c6 if sc not in per_scale else per_scale[sc] + c6
             continue
         else:
             contrib = jnp.einsum(
-                "bdhwc,bc->bdhw", feat, w_eff.astype(feat.dtype)
+                "dhwbc,bc->dhwb" if bm else "bdhwc,bc->bdhw",
+                feat, w_eff.astype(feat.dtype)
             )[..., None].astype(jnp.float32)
             per_scale[sc] = contrib if sc not in per_scale else per_scale[sc] + contrib
     for sc, acc in per_scale.items():
-        m = acc.shape[1]
+        m = acc.shape[0 if bm else 1]
         pair = interp.get((m, m * sc)) if interp else None
-        up = upsample_to_s2d(acc.astype(jnp.float32), sc, pair=pair)
+        up = up_s2d(acc.astype(jnp.float32), sc, pair=pair)
         total = up if total is None else total + up
     # total is (B,n,n,n,8) == (..., 8*1): d2s yields (B,2n,2n,2n,1)
-    pred = depth_to_space(total)
+    pred = depth_to_space_exit_bm(total) if bm else depth_to_space(total)
     return pred + bias.reshape(-1, 1, 1, 1, 1)
 
 
-def _drop_layer_s2d(key, x_s2d, threshold: float, train: bool):
+def _drop_layer_s2d(key, x_s2d, threshold: float, train: bool,
+                    bm: bool = False):
     """DropLayer on an s2d tensor; identical realization to
-    `_drop_layer` on the depth_to_space image for the same key."""
+    `_drop_layer` on the depth_to_space image for the same key
+    (the mask is always DRAWN in the batch-major shape so both
+    layouts see the same channels dropped)."""
     if not train:
         return x_s2d
-    b, d, h, w, c8 = x_s2d.shape
+    if bm:
+        d, h, w, b, c8 = x_s2d.shape
+    else:
+        b, d, h, w, c8 = x_s2d.shape
     c = c8 // 8
     r = jax.random.uniform(key, (b, 1, 1, 1, c), jnp.float32)
     mask = (r >= threshold).astype(jnp.float32)
     scale = c / (jnp.sum(mask) + 0.01)
+    if bm:
+        m = (mask * scale).reshape(b, 1, c)
+        y = x_s2d.reshape(d, h, w, b, 8, c) * m.astype(x_s2d.dtype)
+        return y.reshape(d, h, w, b, c8)
     m = (mask * scale).reshape(b, 1, 1, 1, 1, c)
     y = x_s2d.reshape(b, d, h, w, 8, c) * m.astype(x_s2d.dtype)
     return y.reshape(b, d, h, w, c8)
@@ -784,9 +839,13 @@ def apply_fast(
     """
     from ..ops.s2d import (
         depth_to_space,
+        depth_to_space_bm,
         max_pool_s2d,
+        s2d_entry_bm,
         space_to_depth,
+        space_to_depth_bm,
         upsample_to_s2d,
+        upsample_to_s2d_bm,
     )
 
     dt = cfg.compute_dtype
@@ -807,6 +866,13 @@ def apply_fast(
                and os.environ.get("PALLAS_EPI", "1") == "1")
     else:
         epi = bool(cfg.use_pallas_epi)
+    # batch-minor interior layout (see SEUNetConfig.batch_minor)
+    if cfg.batch_minor is None:
+        bm = os.environ.get("FASTPATH_BM", "0") == "1"
+    else:
+        bm = bool(cfg.batch_minor)
+    s2d_l = space_to_depth_bm if bm else space_to_depth
+    up_s2d = upsample_to_s2d_bm if bm else upsample_to_s2d
 
     if cfg.remat:
         # rematerialize each block in backward so 128^3 crop training
@@ -820,10 +886,10 @@ def apply_fast(
         _sse_block_s2d_dil2 = _wrap(globals()["_sse_block_s2d_dil2"])
         _sse_block_s2d_phased = _wrap(globals()["_sse_block_s2d_phased"])
         _sse_block = _wrap(globals()["_sse_block"])
-        # _wrap (not bare jax.checkpoint): pre/use_epi stay closed
-        # over, so the static bool never becomes a traced leaf
+        # _wrap (not bare jax.checkpoint): pre/use_epi/bm stay closed
+        # over, so the static bools never become traced leaves
         _cat_block_s2d = _wrap(globals()["_cat_block_s2d"])
-        _cat_block = jax.checkpoint(globals()["_cat_block"])
+        _cat_block = _wrap(globals()["_cat_block"])
     else:
         _sse_block_s2d = globals()["_sse_block_s2d"]
         _sse_block_s2d_dil2 = globals()["_sse_block_s2d_dil2"]
@@ -833,84 +899,100 @@ def apply_fast(
         _cat_block = globals()["_cat_block"]
 
     # ---- encoder level 1 (s2d) ----
-    xs = space_to_depth(x)  # (B, n, n, n, 16)
+    xs = s2d_entry_bm(x) if bm else space_to_depth(x)  # (…, 16)
     e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"],
-                           use_epi=epi)
+                           use_epi=epi, bm=bm)
     e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"],
-                           use_epi=epi)
+                           use_epi=epi, bm=bm)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
                                   use_pallas=upl_dil2, pre=fp["ec3"],
-                                  mode=cfg.dil2_mode, use_epi=epi)
+                                  mode=cfg.dil2_mode, use_epi=epi, bm=bm)
     f0, f1, f2 = e0, e1, e1_1  # head features
-    e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], pre=fp["ec33"], use_epi=epi)
-    e1 = e1 + _cat_block_s2d(p["x33"], xs, pre=fp["x33"], use_epi=epi)
-    e2 = max_pool_s2d(e1)  # exits s2d: (B, n, n, n, 32)
+    e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], pre=fp["ec33"],
+                        use_epi=epi, bm=bm)
+    e1 = e1 + _cat_block_s2d(p["x33"], xs, pre=fp["x33"], use_epi=epi, bm=bm)
+    e2 = max_pool_s2d(e1)  # exits s2d: (…, 32)
     x2 = max_pool_s2d(xs)
 
     # ---- encoder level 2 (s2d at 32^3 blocks: 256-512 channels) ----
-    e2s = space_to_depth(e2)
-    x2s = space_to_depth(x2)
+    e2s = s2d_l(e2)
+    x2s = s2d_l(x2)
     e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2,
                                    use_pallas=upl, pre=fp["ec4"],
-                                   use_epi=epi)
+                                   use_epi=epi, bm=bm)
     e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2,
                                  use_pallas=upl_dil2, pre=fp["ec5"],
-                                 mode=cfg.dil2_mode, use_epi=epi)
+                                 mode=cfg.dil2_mode, use_epi=epi, bm=bm)
     e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2,
                                    use_pallas=upl_dil2, pre=fp["ec6"],
-                                   mode=cfg.dil2_mode, use_epi=epi)
+                                   mode=cfg.dil2_mode, use_epi=epi, bm=bm)
     f3, f4, f5 = e2s, e3s, e3_1s
     e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], pre=fp["ec63"],
-                         use_epi=epi)
-    e3s = e3s + _cat_block_s2d(p["x63"], x2s, pre=fp["x63"], use_epi=epi)
+                         use_epi=epi, bm=bm)
+    e3s = e3s + _cat_block_s2d(p["x63"], x2s, pre=fp["x63"], use_epi=epi,
+                               bm=bm)
     e4 = max_pool_s2d(e3s)
     x3 = max_pool_s2d(x2s)
 
     # ---- encoder level 3 (1/4) ----
-    e4, _ = _sse_block(p["ec7"], e4, dilation=1, up=1, n_gates=2, want_side=False)
-    e5, _ = _sse_block(p["ec8"], e4, dilation=2, up=1, n_gates=2, want_side=False)
-    e5_1, _ = _sse_block(p["ec9"], e5, dilation=2, up=1, n_gates=2, want_side=False)
+    e4, _ = _sse_block(p["ec7"], e4, dilation=1, up=1, n_gates=2,
+                       want_side=False, bm=bm)
+    e5, _ = _sse_block(p["ec8"], e4, dilation=2, up=1, n_gates=2,
+                       want_side=False, bm=bm)
+    e5_1, _ = _sse_block(p["ec9"], e5, dilation=2, up=1, n_gates=2,
+                         want_side=False, bm=bm)
     f6, f7, f8 = e4, e5, e5_1
-    e5 = _cat_block(p["ec93"], cat(e5_1, e4, e5))
-    e5 = e5 + _cat_block(p["x93"], x3)
-    e6 = max_pool3d(e5)
+    e5 = _cat_block(p["ec93"], cat(e5_1, e4, e5), bm=bm)
+    e5 = e5 + _cat_block(p["x93"], x3, bm=bm)
+    e6 = max_pool3d(e5, batch_minor=bm)
 
     # ---- bottleneck (1/8) ----
-    e6, _ = _sse_block(p["ec10"], e6, dilation=1, up=1, n_gates=2, want_side=False)
-    e7, _ = _sse_block(p["ec11"], e6, dilation=1, up=1, n_gates=2, want_side=False)
-    e7_1, _ = _sse_block(p["ec12"], e7, dilation=1, up=1, n_gates=2, want_side=False)
+    e6, _ = _sse_block(p["ec10"], e6, dilation=1, up=1, n_gates=2,
+                       want_side=False, bm=bm)
+    e7, _ = _sse_block(p["ec11"], e6, dilation=1, up=1, n_gates=2,
+                       want_side=False, bm=bm)
+    e7_1, _ = _sse_block(p["ec12"], e7, dilation=1, up=1, n_gates=2,
+                         want_side=False, bm=bm)
     f9, f10, f11 = e6, e7, e7_1
-    e7 = _cat_block(p["ec123"], cat(e7_1, e6, e7))
+    e7 = _cat_block(p["ec123"], cat(e7_1, e6, e7), bm=bm)
 
     # ---- decoder level 3 (1/4) ----
-    e8 = upsample_trilinear(e7, 2, mat=fp.get("interp_tri"))
-    d0, _ = _sse_block(p["dc1"], cat(e8, e5), dilation=1, up=1, n_gates=2, want_side=False)
-    d0_1, _ = _sse_block(p["dc2"], d0, dilation=1, up=1, n_gates=2, want_side=False)
+    if bm:
+        from ..ops.resize import upsample_trilinear_bm
+
+        e8 = upsample_trilinear_bm(e7, 2, mat=fp.get("interp_tri"))
+    else:
+        e8 = upsample_trilinear(e7, 2, mat=fp.get("interp_tri"))
+    d0, _ = _sse_block(p["dc1"], cat(e8, e5), dilation=1, up=1, n_gates=2,
+                       want_side=False, bm=bm)
+    d0_1, _ = _sse_block(p["dc2"], d0, dilation=1, up=1, n_gates=2,
+                         want_side=False, bm=bm)
     f12, f13 = d0, d0_1
-    d0 = _cat_block(p["dc22"], cat(d0_1, d0))
+    d0 = _cat_block(p["dc22"], cat(d0_1, d0), bm=bm)
 
     # ---- decoder level 2 (s2d at 32^3 blocks) ----
-    m = d0.shape[1]
-    d1s = upsample_to_s2d(d0, 2, pair=interp.get((m, 2 * m)))
+    m = d0.shape[0 if bm else 1]
+    d1s = up_s2d(d0, 2, pair=interp.get((m, 2 * m)))
     d1s, _ = _sse_block_s2d_phased(p["dc3"], [d1s, e3s], want_side=False,
                                    n_gates=2, use_pallas=upl, pre=fp["dc3"],
-                                   use_epi=epi)
+                                   use_epi=epi, bm=bm)
     d1_1s, _ = _sse_block_s2d_phased(p["dc4"], d1s, want_side=False,
                                      n_gates=2, use_pallas=upl, pre=fp["dc4"],
-                                     use_epi=epi)
+                                     use_epi=epi, bm=bm)
     f14, f15 = d1s, d1_1s
-    d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s], pre=fp["dc42"], use_epi=epi)
+    d1s = _cat_block_s2d(p["dc42"], [d1_1s, d1s], pre=fp["dc42"],
+                         use_epi=epi, bm=bm)
 
     # ---- decoder level 1 (full res, all in s2d) ----
-    d1f = depth_to_space(d1s)
-    m = d1f.shape[1]
-    up_s = upsample_to_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
+    d1f = depth_to_space_bm(d1s) if bm else depth_to_space(d1s)
+    m = d1f.shape[0 if bm else 1]
+    up_s = up_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
     d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False,
                                   use_pallas=upl, pre=fp["dc5"],
-                                  use_epi=epi)
+                                  use_epi=epi, bm=bm)
     d2_1, _ = _sse_block_s2d_phased(p["dc6"], d2, want_side=False,
                                     use_pallas=upl, pre=fp["dc6"],
-                                    use_epi=epi)
+                                    use_epi=epi, bm=bm)
     f16, f17 = d2, d2_1
     # dc62's output feeds nothing in the reference forward (its result
     # is dead after SE_UNet.py:230) — skipped here; XLA would DCE it.
@@ -934,7 +1016,7 @@ def apply_fast(
         (f16, p["dc5"], "s2d", 1), (f17, p["dc6"], "s2d", 1),
     ]
     pred_en = _composed_head(metas_en, p["head_en"], k_en, cfg.drop_threshold,
-                             train, interp=interp)
+                             train, interp=interp, bm=bm)
     pred_de = _composed_head(metas_de, p["head_de"], k_de, cfg.drop_threshold,
-                             train, interp=interp)
+                             train, interp=interp, bm=bm)
     return pred_en.astype(jnp.float32), pred_de.astype(jnp.float32)

@@ -15,6 +15,13 @@ from jax import lax
 _DIMNUMS = lax.conv_dimension_numbers(
     (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
 )
+# batch-minor: spatial dims major, batch in sublanes, channels in
+# lanes — the layout the TPU conv emitter natively tiles ((d,h,w,B,C)
+# row-major IS its preferred {4,0,3,2,1} physical layout of NDHWC, so
+# no relayout copies are inserted around the conv)
+_DIMNUMS_BM = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("DHWNC", "DHWIO", "DHWNC")
+)
 
 
 def conv3d(
@@ -26,8 +33,10 @@ def conv3d(
     padding: int | str = 0,
     dilation: int = 1,
     groups: int = 1,
+    batch_minor: bool = False,
 ) -> jnp.ndarray:
-    """Conv over NDHWC `x` with DHWIO `kernel`.
+    """Conv over NDHWC `x` with DHWIO `kernel` (`batch_minor`: `x` and
+    the result are (D,H,W,N,C) instead).
 
     `padding` is a symmetric per-axis voxel count (the reference always
     uses `padding = 1 * dilation` for 3^3 kernels and 0 for 1^3).
@@ -49,7 +58,7 @@ def conv3d(
         window_strides=(stride, stride, stride),
         padding=pad,
         rhs_dilation=(dilation, dilation, dilation),
-        dimension_numbers=_DIMNUMS,
+        dimension_numbers=_DIMNUMS_BM if batch_minor else _DIMNUMS,
         feature_group_count=groups,
         precision=lax.Precision.HIGHEST,
     )

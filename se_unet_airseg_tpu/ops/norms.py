@@ -15,12 +15,15 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Per-(N,C) normalization of an NDHWC tensor over D,H,W."""
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  batch_minor: bool = False) -> jnp.ndarray:
+    """Per-(N,C) normalization of an NDHWC tensor over D,H,W
+    (`batch_minor`: the tensor is (D,H,W,N,C))."""
     dtype = x.dtype
+    axes = (0, 1, 2) if batch_minor else (1, 2, 3)
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
     y = (xf - mean) * lax.rsqrt(var + eps)
     return y.astype(dtype)
 

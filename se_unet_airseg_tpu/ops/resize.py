@@ -72,3 +72,23 @@ def upsample_trilinear(x: jnp.ndarray, scale: int, mat=None) -> jnp.ndarray:
     y = jnp.einsum("Hh,ndhwc->ndHwc", mh, y, precision=hp)
     y = jnp.einsum("Ww,ndhwc->ndhWc", mw, y, precision=hp)
     return y.astype(dtype)
+
+
+def upsample_trilinear_bm(x: jnp.ndarray, scale: int, mat=None) -> jnp.ndarray:
+    """upsample_trilinear on a batch-minor (D,H,W,N,C) tensor."""
+    if scale == 1:
+        return x
+    d, h, w, _, _ = x.shape
+    dtype = x.dtype
+    if mat is not None:
+        md = mh = mw = mat.astype(jnp.float32)
+    else:
+        md = jnp.asarray(_interp_matrix(d, d * scale), dtype=jnp.float32)
+        mh = jnp.asarray(_interp_matrix(h, h * scale), dtype=jnp.float32)
+        mw = jnp.asarray(_interp_matrix(w, w * scale), dtype=jnp.float32)
+    y = x.astype(jnp.float32)
+    hp = lax.Precision.HIGHEST
+    y = jnp.einsum("Dd,dhwnc->Dhwnc", md, y, precision=hp)
+    y = jnp.einsum("Hh,dhwnc->dHwnc", mh, y, precision=hp)
+    y = jnp.einsum("Ww,dhwnc->dhWnc", mw, y, precision=hp)
+    return y.astype(dtype)

@@ -449,6 +449,141 @@ def plain_to_interleaved_perm(channel_counts: tuple) -> tuple:
     return tuple(perm)
 
 
+# --------------- batch-minor ((D,H,W,B,C)) variants ----------------
+#
+# The TPU conv emitter's preferred physical layout puts batch in the
+# sublane (second-minor) dimension: fed NDHWC tensors it inserts a
+# {4,0,3,2,1} relayout copy before AND after every convolution (a
+# profiled ~70 ms/batch of the inference forward). Batch-minor
+# (D,H,W,B,C) logical order makes the DEFAULT row-major layout BE the
+# conv-native one, so convs, reduces, concats and pointwise matmuls
+# all agree and the relayouts vanish. The channel-last ops above
+# (grouped_pointwise*, se_gate_s2d*, max_pool_s2d, the stats
+# helpers' (B, C8) results) are layout-agnostic and shared.
+
+
+def s2d_entry_bm(x: jnp.ndarray) -> jnp.ndarray:
+    """Batch-major image (B, 2n, 2n, 2n, C) -> batch-minor s2d
+    (n, n, n, B, 8C) in ONE transpose."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(1, 3, 5, 0, 2, 4, 6, 7)  # (n, n, n, b, 2, 2, 2, c)
+    return x.reshape(d // 2, h // 2, w // 2, b, 8 * c)
+
+
+def space_to_depth_bm(x: jnp.ndarray) -> jnp.ndarray:
+    """(2n, 2n, 2n, B, C) -> (n, n, n, B, 8C), p-major channels."""
+    d, h, w, b, c = x.shape
+    x = x.reshape(d // 2, 2, h // 2, 2, w // 2, 2, b, c)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(d // 2, h // 2, w // 2, b, 8 * c)
+
+
+def depth_to_space_bm(x: jnp.ndarray) -> jnp.ndarray:
+    """(n, n, n, B, 8C) -> (2n, 2n, 2n, B, C), staying batch-minor."""
+    d, h, w, b, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(d, h, w, b, 2, 2, 2, c)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return x.reshape(2 * d, 2 * h, 2 * w, b, c)
+
+
+def depth_to_space_exit_bm(x: jnp.ndarray) -> jnp.ndarray:
+    """(n, n, n, B, 8C) -> batch-major (B, 2n, 2n, 2n, C)."""
+    d, h, w, b, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(d, h, w, b, 2, 2, 2, c)
+    x = x.transpose(3, 0, 4, 1, 5, 2, 6, 7)
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+def instance_norm_s2d_bm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """instance_norm_s2d on a batch-minor s2d tensor."""
+    d, h, w, b, c8 = x.shape
+    s1 = jnp.sum(x, axis=(0, 1, 2), dtype=jnp.float32)  # (b, c8)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
+    return instance_norm_from_stats_bm(x, s1, s2, eps)
+
+
+def instance_norm_from_stats_bm(
+    y: jnp.ndarray,
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """instance_norm_from_stats for batch-minor tensors: s1/s2 are the
+    per-(B, 8C) sums over the spatial axes (0, 1, 2)."""
+    d, h, w, b, c8 = y.shape
+    c = c8 // 8
+    n = d * h * w * 8
+    mean = jnp.sum(s1.reshape(b, 8, c), axis=1) / n  # (b, c)
+    ex2 = jnp.sum(s2.reshape(b, 8, c), axis=1) / n
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))  # (b, c8): broadcasts over d,h,w
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    return (y.astype(jnp.float32) * scale8 - shift8).astype(y.dtype)
+
+
+def upsample_to_s2d_bm(x: jnp.ndarray, scale: int, pair=None):
+    """upsample_to_s2d on a batch-minor (m, m, m, B, C) tensor ->
+    (m*scale/2, ..., B, 8C); each contraction emits its parity axis in
+    final order, as in the batch-major version."""
+    d, h, w, b, c = x.shape
+    dtype = x.dtype
+    ct = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    if pair is not None:
+        md = mh = mw = pair.astype(ct)
+    else:
+        md = jnp.asarray(_interp_pair(d, d * scale), ct)
+        mh = jnp.asarray(_interp_pair(h, h * scale), ct)
+        mw = jnp.asarray(_interp_pair(w, w * scale), ct)
+    y = x.astype(ct)
+    y = jnp.einsum("aDd,dhwbc->Dhwbac", md, y, precision=HP)
+    y = jnp.einsum("eHh,Dhwbac->DHwbaec", mh, y, precision=HP)
+    y = jnp.einsum("fWw,DHwbaec->DHWbaefc", mw, y, precision=HP)
+    n = d * scale // 2
+    return y.reshape(n, n, n, b, 8 * c).astype(dtype)
+
+
+def conv3_s2d_phased_fused_bm(x, w_all: jnp.ndarray,
+                              b_all: jnp.ndarray | None, eps: float = 1e-5):
+    """conv3_s2d_phased_fused on batch-minor s2d tensors (or a list of
+    them forming a plain concat)."""
+    from .conv import conv3d
+    from .norms import leaky_relu
+
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    co = w_all.shape[-1] // 8
+    n = xs[0].shape[0]
+    y = None
+    off = 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if y is None else None, padding=1,
+                    batch_minor=True)
+        y = yt if y is None else y + yt
+        off += k
+    # y: (n+1, n+1, n+1, B, 8Co)
+    slices, s1, s2 = [], 0.0, 0.0
+    for q, (a, bb, c) in enumerate(product(range(2), repeat=3)):
+        sl = y[a : a + n, bb : bb + n, c : c + n, :, q * co : (q + 1) * co]
+        slices.append(sl)
+        s1 = s1 + jnp.sum(sl, axis=(0, 1, 2), dtype=jnp.float32)
+        s2 = s2 + jnp.sum(jnp.square(sl.astype(jnp.float32)), axis=(0, 1, 2))
+    nvox = 8 * n * n * n
+    mean = s1 / nvox  # (B, Co) per ORIGINAL channel
+    var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)  # (B, Co): broadcasts over d,h,w
+    shift = mean * scale
+    acts = [
+        leaky_relu(sl.astype(jnp.float32) * scale - shift).astype(xs[0].dtype)
+        for sl in slices
+    ]
+    return jnp.concatenate(acts, axis=-1)
+
+
 def to_polyphase(x: jnp.ndarray) -> jnp.ndarray:
     """s2d (B, n, n, n, 8C) -> (B*8, n, n, n, C): sub-positions become
     batch entries (for dilation-2 polyphase convs)."""

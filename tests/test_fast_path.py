@@ -67,3 +67,48 @@ def test_prepared_fast_params_match_in_trace():
     en1, de1 = apply_fast(params, x, cfg=cfg, fast_params=fp)
     np.testing.assert_allclose(np.asarray(en1), np.asarray(en0), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(de1), np.asarray(de0), rtol=1e-5, atol=1e-6)
+
+
+def test_batch_minor_layout_matches():
+    """batch_minor=True (DHWNC interior layout, the TPU conv emitter's
+    native order) must be numerically identical to the batch-major fast
+    path — eval AND train (DropLayer masks drawn in batch-major shape),
+    with and without prepared fast params."""
+    from se_unet_airseg_tpu.models.se_unet import prepare_fast_params
+
+    cfg0 = SEUNetConfig(batch_minor=False)
+    cfg1 = SEUNetConfig(batch_minor=True)
+    params = init_params(jax.random.key(8), cfg0)
+    x = jax.random.normal(jax.random.key(9), (2, 16, 16, 16, 2), jnp.float32)
+    en0, de0 = apply_fast(params, x, cfg=cfg0)
+    en1, de1 = apply_fast(params, x, cfg=cfg1)
+    np.testing.assert_allclose(np.asarray(en1), np.asarray(en0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(de1), np.asarray(de0), rtol=1e-5, atol=1e-6)
+    fp = jax.jit(lambda p: prepare_fast_params(p, cfg1, n=8))(params)
+    en2, de2 = apply_fast(params, x, cfg=cfg1, fast_params=fp)
+    np.testing.assert_allclose(np.asarray(en2), np.asarray(en0), rtol=1e-5, atol=1e-6)
+    r = jax.random.key(11)
+    t_en0, t_de0 = apply_fast(params, x, cfg=cfg0, train=True, rng=r)
+    t_en1, t_de1 = apply_fast(params, x, cfg=cfg1, train=True, rng=r)
+    np.testing.assert_allclose(np.asarray(t_en1), np.asarray(t_en0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_de1), np.asarray(t_de0), rtol=1e-5, atol=1e-6)
+
+
+def test_batch_minor_grads_match():
+    cfg0 = SEUNetConfig(batch_minor=False, remat=True)
+    cfg1 = SEUNetConfig(batch_minor=True, remat=True)
+    params = init_params(jax.random.key(12), cfg0)
+    x = jax.random.normal(jax.random.key(13), (1, 16, 16, 16, 2), jnp.float32)
+
+    def loss(cfg):
+        def f(p):
+            en, de = apply_fast(p, x, cfg=cfg)
+            return jnp.sum(jnp.square(en)) + jnp.sum(jnp.square(de))
+        return f
+
+    g0 = jax.grad(loss(cfg0))(params)
+    g1 = jax.grad(loss(cfg1))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+        )

@@ -26,8 +26,13 @@ def _trace(fn, logdir, iters=3):
 
     def sync(o):
         # force a device round-trip: on the tunneled axon platform
-        # block_until_ready can return before execution finishes
-        return np.asarray(jax.tree.leaves(o)[0]).ravel()[0]
+        # block_until_ready can return before execution finishes.
+        # Slice ON DEVICE first — fetching the full array would drag
+        # a ~100 MB volume through the ~7 MB/s tunnel and swamp wall
+        import jax.numpy as jnp
+
+        leaf = jax.tree.leaves(o)[0]
+        return float(jnp.ravel(leaf)[0])
 
     sync(fn())  # compile + warm
     t0 = time.perf_counter()
