@@ -480,10 +480,11 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
         wb = conv3_weight_to_s2d(p["conv"]["w"])
         bb = bias_to_s2d(p["conv"]["b"])
     e = conv3d(x, wb, bb, padding=1, batch_minor=bm)
-    if use_epi and not bm and pre is not None and "epi_wgs" in pre:
-        from ..ops.pallas_s2d import gated_norm_block
+    if use_epi and pre is not None and "epi_wgs" in pre:
+        from ..ops.pallas_s2d import gated_norm_block, gated_norm_block_bm
 
-        e = gated_norm_block(e, pre["epi_wgs"], pre["epi_oh"])
+        epi_fn = gated_norm_block_bm if bm else gated_norm_block
+        e = epi_fn(e, pre["epi_wgs"], pre["epi_oh"])
     else:
         from ..ops.s2d import instance_norm_s2d_bm
 
@@ -546,10 +547,11 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                 wg = jnp.tile(w, (1, 1, 1, 1, 8))
                 bg = jnp.tile(p["conv"]["b"], 8)
             y = conv3d(x, wg, bg, padding=1, groups=8, batch_minor=bm)
-        if use_epi and not bm and pre is not None and "epi_wgs" in pre:
-            from ..ops.pallas_s2d import gated_norm_block
+        if use_epi and pre is not None and "epi_wgs" in pre:
+            from ..ops.pallas_s2d import gated_norm_block, gated_norm_block_bm
 
-            e = gated_norm_block(y, pre["epi_wgs"], pre["epi_oh"])
+            epi_fn = gated_norm_block_bm if bm else gated_norm_block
+            e = epi_fn(y, pre["epi_wgs"], pre["epi_oh"])
             if not want_side:
                 return e, None
             from ..ops.s2d import grouped_pointwise as _gp
@@ -599,10 +601,10 @@ def _cat_block_s2d(p: Params, x, pre=None, use_epi: bool = False,
         y = grouped_pointwise_multi_pre(xs, pre["wd"])
     else:
         y = grouped_pointwise_multi(xs, p["conv"]["w"][0, 0, 0])
-    if use_epi and not bm:
-        from ..ops.pallas_s2d import gated_norm_block
+    if use_epi:
+        from ..ops.pallas_s2d import gated_norm_block, gated_norm_block_bm
 
-        return gated_norm_block(y, None, None)
+        return (gated_norm_block_bm if bm else gated_norm_block)(y, None, None)
     norm = instance_norm_s2d_bm if bm else instance_norm_s2d
     return leaky_relu(norm(y))
 

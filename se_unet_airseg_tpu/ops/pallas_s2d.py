@@ -904,3 +904,161 @@ def _bwd(res, cts):
 
 
 phased_conv_stats.defvjp(_fwd, _bwd)
+
+
+# -------------- batch-minor (D, H, W, B, C) epilogue ---------------
+#
+# In batch-minor layout the trailing (B, C8) dims are exactly one
+# (sublane, lane) Mosaic tile when B == 8, so spatial z/y tiling is
+# free of every alignment constraint the batch-major kernels had to
+# dodge: blocks are (tz, ty, w, B, C8) with automatic double-buffered
+# pipelining, and the SE gate matmuls run on (tz, ty, w*B, C8) rows.
+
+
+def _gathered_pick_tile_bm(d: int, h: int, w: int, b: int,
+                           c8: int) -> tuple[int, int] | None:
+    budget = 9 * 1024 * 1024
+    best, best_vol = None, 0
+    for tz in (1, 2, 4, 8, 16):
+        for ty in (1, 2, 4, 8, 16):
+            if d % tz or h % ty:
+                continue
+            s = tz * ty * w * b * c8
+            if 8 * s + 4 * s <= budget and tz * ty > best_vol:
+                best, best_vol = (tz, ty), tz * ty
+    return best
+
+
+def _gathered_kernel_bm(n_gates, out_dtype, y_ref, scale_ref, shift_ref,
+                        *rest):
+    """IN affine + LeakyReLU + SE gate(s) on a batch-minor gathered
+    s2d tensor; one read + one write per element (no halo)."""
+    if n_gates:
+        wg_ref, oh_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    e = y_ref[...].astype(jnp.float32)
+    e = e * scale_ref[...] - shift_ref[...]
+    e = jnp.where(e >= 0, e, 0.01 * e).astype(out_dtype)
+    if n_gates:
+        tz, ty, w, b, c8 = e.shape
+        e = e.reshape(tz, ty, w * b, c8)
+        for g in range(n_gates):
+            logits = lax.dot_general(
+                e, wg_ref[g], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gate = jax.nn.sigmoid(logits).astype(out_dtype)
+            gb = lax.dot_general(
+                gate, oh_ref[...], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
+            e = e * gb
+        e = e.reshape(tz, ty, w, b, c8)
+    out_ref[...] = e
+
+
+def gated_norm_finalize_bm(y, scale8, shift8, wgs, oh):
+    """y (d, h, w, B, C8) batch-minor s2d conv output -> IN+LeakyReLU
+    +SE gates in one streamed Pallas pass. scale8/shift8 are (B, C8)
+    f32 phase-tiled affines. Returns None when the shape misses the
+    Mosaic constraints (callers fall back to the XLA composition)."""
+    d, h, w, b, c8 = y.shape
+    n_gates = int(wgs.shape[0]) if wgs is not None else 0
+    if c8 % 128 or b % 8:
+        return None
+    tile = _gathered_pick_tile_bm(d, h, w, b, c8)
+    if tile is None:
+        return None
+    tz, ty = tile
+    kernel = partial(_gathered_kernel_bm, n_gates, y.dtype)
+    in_specs = [
+        pl.BlockSpec((tz, ty, w, b, c8), lambda i, j: (i, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, c8), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, c8), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [y, scale8, shift8]
+    if n_gates:
+        in_specs += [
+            pl.BlockSpec((n_gates, c8, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, c8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [wgs, oh]
+    return pl.pallas_call(
+        kernel,
+        grid=(d // tz, h // ty),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tz, ty, w, b, c8), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * y.size * 128 * 2 * max(n_gates, 1),
+            bytes_accessed=y.size * 2 * 2,
+            transcendentals=y.size // 8 * max(n_gates, 1),
+        ),
+        interpret=_use_interpret(),
+    )(*args)
+
+
+def _xla_gated_norm_composition_bm(y, wgs, oh):
+    """Pure-XLA reference/backward of the batch-minor epilogue."""
+    from .norms import leaky_relu
+    from .s2d import HP, instance_norm_s2d_bm
+
+    e = leaky_relu(instance_norm_s2d_bm(y))
+    n_gates = int(wgs.shape[0]) if wgs is not None else 0
+    for g in range(n_gates):
+        gate = jax.nn.sigmoid(
+            jnp.einsum("...i,ip->...p", e, wgs[g, :, :8].astype(e.dtype),
+                       precision=HP)
+        )
+        e = e * jnp.einsum("...p,pj->...j", gate, oh[:8].astype(e.dtype),
+                           precision=HP)
+    return e
+
+
+def _pallas_gated_norm_forward_bm(y, wgs, oh, eps=1e-5):
+    d, h, w, b, c8 = y.shape
+    c = c8 // 8
+    nvox = d * h * w * 8
+    yf32 = y.astype(jnp.float32)
+    s1 = jnp.sum(yf32, axis=(0, 1, 2))  # (B, C8)
+    s2 = jnp.sum(jnp.square(yf32), axis=(0, 1, 2))
+    mean = jnp.sum(s1.reshape(b, 8, c), axis=1) / nvox
+    ex2 = jnp.sum(s2.reshape(b, 8, c), axis=1) / nvox
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    out = gated_norm_finalize_bm(y, scale8, shift8, wgs, oh)
+    if out is None:
+        return _xla_gated_norm_composition_bm(y, wgs, oh)
+    return out
+
+
+@jax.custom_vjp
+def gated_norm_block_bm(y, wgs, oh):
+    """Fused batch-minor gathered-s2d epilogue: InstanceNorm +
+    LeakyReLU + SE gate(s) as one Pallas streaming pass. Backward =
+    XLA composition (exact same math)."""
+    return _pallas_gated_norm_forward_bm(y, wgs, oh)
+
+
+def _gnbm_fwd(y, wgs, oh):
+    return _pallas_gated_norm_forward_bm(y, wgs, oh), (y, wgs, oh)
+
+
+def _gnbm_bwd(res, ct):
+    y, wgs, oh = res
+    _, vjp = jax.vjp(_xla_gated_norm_composition_bm, y, wgs, oh)
+    return vjp(ct)
+
+
+gated_norm_block_bm.defvjp(_gnbm_fwd, _gnbm_bwd)

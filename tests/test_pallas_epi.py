@@ -89,3 +89,78 @@ def test_model_epilogue_path_matches_default():
         np.testing.assert_allclose(
             np.asarray(ya), np.asarray(yb), atol=2e-5, rtol=1e-4
         )
+
+
+def _make_gathered_bm(seed, n, co, gates, b=8):
+    r = np.random.default_rng(seed)
+    y = jnp.asarray(r.standard_normal((n, n, n, b, 8 * co), np.float32))
+    wgs, oh = [], None
+    for _ in range(gates):
+        wse = jnp.asarray(r.standard_normal((co, 1), np.float32) * 0.1)
+        wg, oh_ = se_gate_weights(wse, jnp.float32)
+        wgs.append(jnp.pad(wg, ((0, 0), (0, 128 - wg.shape[1]))))
+        oh = jnp.pad(oh_, ((0, 128 - oh_.shape[0]), (0, 0)))
+    return y, (jnp.stack(wgs) if gates else None), oh
+
+
+@pytest.mark.parametrize("gates", [0, 1, 2])
+def test_bm_gated_norm_matches_batch_major(gates):
+    """The batch-minor gathered epilogue equals both its own XLA
+    composition and the proven batch-major kernel on the transposed
+    tensor (b=8, c8=128 so the Mosaic-eligible kernel path runs)."""
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_gated_norm_composition_bm,
+        gated_norm_block,
+        gated_norm_block_bm,
+    )
+
+    y, wgs, oh = _make_gathered_bm(3 + gates, 8, 16, gates)
+    out = gated_norm_block_bm(y, wgs, oh)
+    ref = _xla_gated_norm_composition_bm(y, wgs, oh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    y_bmaj = jnp.transpose(y, (3, 0, 1, 2, 4))
+    ref2 = gated_norm_block(y_bmaj, wgs, oh)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out, (3, 0, 1, 2, 4))), np.asarray(ref2),
+        atol=2e-6, rtol=1e-5,
+    )
+
+
+def test_bm_gated_norm_grads_match():
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_gated_norm_composition_bm,
+        gated_norm_block_bm,
+    )
+
+    y, wgs, oh = _make_gathered_bm(9, 8, 16, 1)
+
+    gp = jax.grad(lambda t: jnp.sum(gated_norm_block_bm(t, wgs, oh) ** 2))(y)
+    gx = jax.grad(
+        lambda t: jnp.sum(_xla_gated_norm_composition_bm(t, wgs, oh) ** 2)
+    )(y)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_model_bm_epilogue_path_matches_default():
+    """apply_fast with batch_minor=True + use_pallas_epi=True
+    (interpret mode on CPU) equals the default fast path."""
+    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+    from se_unet_airseg_tpu.models.se_unet import (
+        apply_fast, prepare_fast_params,
+    )
+
+    cfg = SEUNetConfig()
+    cfg_epi = SEUNetConfig(batch_minor=True, use_pallas_epi=True)
+    params = init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).random((8, 16, 16, 16, 2), np.float32)
+    )
+    fp = jax.jit(lambda p: prepare_fast_params(p, cfg_epi, n=8))(params)
+    a = apply_fast(params, x, cfg=cfg, train=False)
+    b = apply_fast(params, x, cfg=cfg_epi, train=False, fast_params=fp)
+    for ya, yb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(ya), np.asarray(yb), atol=2e-5, rtol=1e-4
+        )
