@@ -646,8 +646,15 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
             p["conv"]["w"], p["conv"]["b"], splits
         )
     if bm:
-        e = conv3_s2d_phased_fused_bm(xs, w_all, b_all)
-        e = _se_chain(p, e, n_gates, pre)
+        if use_epi and pre is not None and "epi_wgs" in pre:
+            from ..ops.pallas_s2d import phased_gated_block_bm
+
+            e = phased_gated_block_bm(
+                tuple(xs), w_all, b_all, pre["epi_wgs"], pre["epi_oh"]
+            )
+        else:
+            e = conv3_s2d_phased_fused_bm(xs, w_all, b_all)
+            e = _se_chain(p, e, n_gates, pre)
     elif use_epi and pre is not None and "epi_wgs" in pre:
         from ..ops.pallas_s2d import phased_gated_block
 

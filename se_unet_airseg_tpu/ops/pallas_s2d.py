@@ -1062,3 +1062,82 @@ def _gnbm_bwd(res, ct):
 
 
 gated_norm_block_bm.defvjp(_gnbm_fwd, _gnbm_bwd)
+
+
+def _xla_phased_gated_composition_bm(xs, w_all, b_all, wgs, oh):
+    """Pure-XLA math of the batch-minor gated phased block (backward
+    path and CPU/test reference)."""
+    from .s2d import HP, conv3_s2d_phased_fused_bm
+
+    e = conv3_s2d_phased_fused_bm(list(xs), w_all, b_all)
+    for g in range(int(wgs.shape[0])):
+        gate = jax.nn.sigmoid(
+            jnp.einsum("...i,ip->...p", e, wgs[g, :, :8].astype(e.dtype),
+                       precision=HP)
+        )
+        e = e * jnp.einsum("...p,pj->...j", gate, oh[:8].astype(e.dtype),
+                           precision=HP)
+    return e
+
+
+def _phased_gated_forward_bm(xs, w_all, b_all, wgs, oh, eps=1e-5):
+    """Batch-minor phased block: conv on XLA's MXU-hot emitter, phase
+    gather + statistics as one XLA fusion, and the normalize + LeakyReLU
+    + SE gates as the streamed Pallas pass (1R+1W)."""
+    from .conv import conv3d
+    from itertools import product as _product
+
+    xs = list(xs)
+    co = w_all.shape[-1] // 8
+    n = xs[0].shape[0]
+    b = xs[0].shape[3]
+    y_ext = None
+    off = 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if y_ext is None else None, padding=1,
+                    batch_minor=True)
+        y_ext = yt if y_ext is None else y_ext + yt
+        off += k
+    # y_ext: (n+1, n+1, n+1, B, 8Co)
+    slices, s1, s2 = [], 0.0, 0.0
+    for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
+        sl = y_ext[a : a + n, bb : bb + n, c : c + n, :,
+                   q * co : (q + 1) * co]
+        slices.append(sl)
+        s1 = s1 + jnp.sum(sl, axis=(0, 1, 2), dtype=jnp.float32)
+        s2 = s2 + jnp.sum(jnp.square(sl.astype(jnp.float32)), axis=(0, 1, 2))
+    y = jnp.concatenate(slices, axis=-1)  # (n, n, n, B, 8Co) phase-major
+    nvox = 8 * n * n * n
+    mean = s1 / nvox  # (B, Co) per ORIGINAL channel
+    var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    out = gated_norm_finalize_bm(y, scale8, shift8, wgs, oh)
+    if out is None:
+        return _xla_phased_gated_composition_bm(xs, w_all, b_all, wgs, oh)
+    return out
+
+
+@jax.custom_vjp
+def phased_gated_block_bm(xs, w_all, b_all, wgs, oh):
+    """Fused batch-minor phased block epilogue; backward is the exact
+    XLA composition."""
+    return _phased_gated_forward_bm(xs, w_all, b_all, wgs, oh)
+
+
+def _pgbm_fwd(xs, w_all, b_all, wgs, oh):
+    return (_phased_gated_forward_bm(xs, w_all, b_all, wgs, oh),
+            (xs, w_all, b_all, wgs, oh))
+
+
+def _pgbm_bwd(res, ct):
+    xs, w_all, b_all, wgs, oh = res
+    _, vjp = jax.vjp(_xla_phased_gated_composition_bm, xs, w_all, b_all,
+                     wgs, oh)
+    return vjp(ct)
+
+
+phased_gated_block_bm.defvjp(_pgbm_fwd, _pgbm_bwd)

@@ -164,3 +164,77 @@ def test_model_bm_epilogue_path_matches_default():
         np.testing.assert_allclose(
             np.asarray(ya), np.asarray(yb), atol=2e-5, rtol=1e-4
         )
+
+
+def _make_block_bm(seed, n, cis, co, gates, b=8):
+    r = np.random.default_rng(seed)
+    ci_orig = sum(cis) // 8
+    w_all, b_all = phased_conv_weights(
+        jnp.asarray(r.standard_normal((3, 3, 3, ci_orig, co),
+                                      np.float32) * 0.1),
+        jnp.asarray(r.standard_normal(co, np.float32) * 0.1),
+        tuple(c // 8 for c in cis) if len(cis) > 1 else None,
+    )
+    xs = tuple(
+        jnp.asarray(r.standard_normal((n, n, n, b, c), np.float32))
+        for c in cis
+    )
+    wgs, oh = [], None
+    for _ in range(gates):
+        wse = jnp.asarray(r.standard_normal((co, 1), np.float32) * 0.1)
+        wg, oh_ = se_gate_weights(wse, jnp.float32)
+        wgs.append(jnp.pad(wg, ((0, 0), (0, 128 - wg.shape[1]))))
+        oh = jnp.pad(oh_, ((0, 128 - oh_.shape[0]), (0, 0)))
+    return xs, w_all, b_all, jnp.stack(wgs), oh
+
+
+@pytest.mark.parametrize(
+    "n,cis,co,gates",
+    [
+        (8, (128,), 16, 1),
+        (8, (64, 64), 16, 2),
+    ],
+)
+def test_bm_phased_epilogue_matches_xla(n, cis, co, gates):
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_phased_gated_composition_bm,
+        phased_gated_block_bm,
+    )
+
+    xs, w_all, b_all, wgs, oh = _make_block_bm(5, n, cis, co, gates)
+    out_p = phased_gated_block_bm(xs, w_all, b_all, wgs, oh)
+    out_x = _xla_phased_gated_composition_bm(xs, w_all, b_all, wgs, oh)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=2e-6, rtol=1e-5
+    )
+    # and against the proven batch-major kernel on transposed inputs
+    xs_bmaj = tuple(jnp.transpose(t, (3, 0, 1, 2, 4)) for t in xs)
+    ref = phased_gated_block(xs_bmaj, w_all, b_all, wgs, oh)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out_p, (3, 0, 1, 2, 4))), np.asarray(ref),
+        atol=2e-6, rtol=1e-5,
+    )
+
+
+def test_bm_phased_epilogue_grads_match():
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_phased_gated_composition_bm,
+        phased_gated_block_bm,
+    )
+
+    xs, w_all, b_all, wgs, oh = _make_block_bm(6, 8, (64, 64), 16, 1)
+
+    def loss_p(a, b, w):
+        return jnp.sum(phased_gated_block_bm((a, b), w, b_all, wgs, oh) ** 2)
+
+    def loss_x(a, b, w):
+        return jnp.sum(
+            _xla_phased_gated_composition_bm((a, b), w, b_all, wgs, oh) ** 2
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(*xs, w_all)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(*xs, w_all)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
