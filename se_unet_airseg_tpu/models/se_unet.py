@@ -81,6 +81,15 @@ class SEUNetConfig:
     # batch-major layout vanish. None resolves to the FASTPATH_BM env
     # var (default OFF until the Pallas epilogues are ported).
     batch_minor: bool | None = None
+    # route the narrow full-res encoder blocks (ec1/ec2) through the
+    # phased conv instead of the block-lifted dense 3^3 kernel: the
+    # lift costs 8x the logical FLOPs (~100 GFLOP/tile of structural
+    # zeros at ec2); the phased form costs only the logical FLOPs but
+    # adds gather traffic — which the bm Pallas epilogue absorbs. In
+    # round 2 (batch-major, no epilogue) phased ec1/ec2 measurably
+    # LOST (13.8 -> 10.7 tiles/s); re-evaluated under bm+epi. None
+    # resolves to the FASTPATH_EC12_PHASED env var (default OFF).
+    ec12_phased: bool | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -397,11 +406,17 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
         )
         return e
 
-    # full-res lifted blocks (dense 3^3 block kernel)
+    # full-res lifted blocks (dense 3^3 block kernel) — the phased
+    # (lift-free) weights ride along for the ec12_phased routing
     for name in ("ec1", "ec2"):
+        w_all, b_all = phased_conv_weights(
+            p[name]["conv"]["w"], p[name]["conv"]["b"], None
+        )
         fp[name] = {
             "w": conv3_weight_to_s2d(p[name]["conv"]["w"]),
             "b": bias_to_s2d(p[name]["conv"]["b"]),
+            "w_all": w_all,
+            "b_all": b_all,
             **se_entries(name, 1),
         }
     # dilation-2 blocks: grouped-conv weights (weights tiled across the
@@ -880,6 +895,11 @@ def apply_fast(
         bm = os.environ.get("FASTPATH_BM", "0") == "1"
     else:
         bm = bool(cfg.batch_minor)
+    # phased (lift-free) formulation for ec1/ec2 — see SEUNetConfig
+    if cfg.ec12_phased is None:
+        ec12p = os.environ.get("FASTPATH_EC12_PHASED", "0") == "1"
+    else:
+        ec12p = bool(cfg.ec12_phased)
     s2d_l = space_to_depth_bm if bm else space_to_depth
     up_s2d = upsample_to_s2d_bm if bm else upsample_to_s2d
 
@@ -909,10 +929,16 @@ def apply_fast(
 
     # ---- encoder level 1 (s2d) ----
     xs = s2d_entry_bm(x) if bm else space_to_depth(x)  # (…, 16)
-    e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"],
-                           use_epi=epi, bm=bm)
-    e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"],
-                           use_epi=epi, bm=bm)
+    if ec12p and "w_all" in fp["ec1"]:
+        e0, _ = _sse_block_s2d_phased(p["ec1"], xs, want_side=False,
+                                      pre=fp["ec1"], use_epi=epi, bm=bm)
+        e1, _ = _sse_block_s2d_phased(p["ec2"], e0, want_side=False,
+                                      pre=fp["ec2"], use_epi=epi, bm=bm)
+    else:
+        e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"],
+                               use_epi=epi, bm=bm)
+        e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"],
+                               use_epi=epi, bm=bm)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
                                   use_pallas=upl_dil2, pre=fp["ec3"],
                                   mode=cfg.dil2_mode, use_epi=epi, bm=bm)

@@ -112,3 +112,22 @@ def test_batch_minor_grads_match():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
         )
+
+
+def test_ec12_phased_routing_matches():
+    """ec12_phased=True (lift-free phased ec1/ec2) equals the default
+    dense-lift routing, in both layouts, with prepared fast params."""
+    from se_unet_airseg_tpu.models.se_unet import prepare_fast_params
+
+    cfg0 = SEUNetConfig(ec12_phased=False)
+    params = init_params(jax.random.key(20), cfg0)
+    x = jax.random.normal(jax.random.key(21), (2, 16, 16, 16, 2), jnp.float32)
+    en0, de0 = apply_fast(params, x, cfg=cfg0)
+    for bm in (False, True):
+        cfg1 = SEUNetConfig(ec12_phased=True, batch_minor=bm)
+        fp = jax.jit(lambda p: prepare_fast_params(p, cfg1, n=8))(params)
+        en1, de1 = apply_fast(params, x, cfg=cfg1, fast_params=fp)
+        np.testing.assert_allclose(np.asarray(en1), np.asarray(en0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(de1), np.asarray(de0),
+                                   rtol=1e-5, atol=1e-6)
