@@ -427,14 +427,16 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
 
     for name, gates in (("ec3", 1), ("ec5", 2), ("ec6", 2)):
         w = p[name]["conv"]["w"]
-        key = "wdense" if w.shape[3] <= 16 else "wg"
-        wk = (dil2_dense_weight(w, dt) if key == "wdense"
-              else jnp.tile(w, (1, 1, 1, 1, 8)))
         fp[name] = {
-            key: wk,
+            # block-diagonal dense kernel: narrow blocks use it under
+            # XLA; ALL blocks use it in the fused bm Pallas kernel
+            "wdense": dil2_dense_weight(w, dt),
             "bg": jnp.tile(p[name]["conv"]["b"], 8),
             **se_entries(name, gates),
         }
+        if w.shape[3] > 16:
+            # grouped-conv weights for the XLA wide-block path
+            fp[name]["wg"] = jnp.tile(w, (1, 1, 1, 1, 8))
     # phased blocks; in_splits = original channel counts of the plain
     # concat feeding them (channel plan in the module docstring)
     for name, gates, splits in (
@@ -543,6 +545,19 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         y, s1, s2 = dil2_conv_stats(x, p["conv"]["w"], p["conv"]["b"])
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
     elif mode == "grouped" or bm:
+        if (bm and use_epi and pre is not None and "wdense" in pre
+                and "epi_wgs" in pre
+                and os.environ.get("PALLAS_DIL2BM", "1") == "1"):
+            # fused bm Pallas path: block-diag dense conv + stats in
+            # one double-buffered kernel, streamed finalize epilogue
+            from ..ops.pallas_s2d import dil2_gated_block_bm
+
+            e = dil2_gated_block_bm(x, pre["wdense"], pre["bg"],
+                                    pre["epi_wgs"], pre["epi_oh"])
+            if not want_side:
+                return e, None
+            return e, grouped_pointwise(e, p["side"]["w"][0, 0, 0],
+                                        p["side"]["b"])
         w = p["conv"]["w"]
         if w.shape[3] <= 16:
             # narrow blocks (ec3: 16-ch groups): the TPU grouped-conv

@@ -1141,3 +1141,222 @@ def _pgbm_bwd(res, ct):
 
 
 phased_gated_block_bm.defvjp(_pgbm_fwd, _pgbm_bwd)
+
+
+# ------------- batch-minor fused dilation-2 conv + stats -------------
+#
+# The dil-2 s2d blocks (ec3/ec5/ec6, reference SE_UNet.py:36-63 with
+# dilation=2 at 128^3/64^3) are the model's worst MXU citizens under
+# XLA: the grouped-conv emitter pads each 16-64 lane group to 128
+# (4-8x wasted columns), and the block-diagonal dense rewrite runs the
+# 8x-FLOP kernel at only ~40-47% of peak, plus a separate full-tensor
+# statistics read. This kernel runs the SAME block-diagonal dense
+# matmuls (full 128-wide lanes, structural zeros accepted) but at MXU
+# rates, with
+#   * cross-grid-step double-buffered HBM->VMEM DMA of the haloed
+#     input tiles (the round-2 conv kernels serialized start();wait()
+#     inside each step — ~16 us of dead time per step at the model's
+#     shapes, the reason they lost to XLA);
+#   * the 27 taps as 27 accumulating (M, C8) @ (C8, Cblk) MXU calls
+#     with weights VMEM-resident (an optional output-channel split
+#     keeps each resident slice under the scoped-VMEM budget);
+#   * InstanceNorm statistics accumulated across steps into (B, C8o)
+#     outputs, so the XLA stats pass over y disappears.
+# In batch-minor layout the (B, C) minor dims are whole Mosaic tiles,
+# the DMA slices only the two outermost dims (always legal), and the
+# tap shifts are row-granular static slices.
+
+
+def _dil2_bm_pick(d, h, nx, b, c8, c8o, itemsize):
+    """(tz, ty, ncb) for the bm dil-2 kernel, or None. Prefers the
+    fewest grid steps whose scratch fits the ~10.8 MB practical scoped
+    budget (see ROADMAP: 'exceeded 16M vmem' calibration)."""
+    budget = int(10.8 * 1024 * 1024)
+    best = None
+    for ncb in (1, 2, 4):
+        if c8o % (ncb * 128):
+            continue
+        cblk = c8o // ncb
+        for tz in (8, 4, 2, 1):
+            for ty in (8, 4, 2, 1):
+                if d % tz or h % ty:
+                    continue
+                xs = 2 * (tz + 2) * (ty + 2) * (nx + 2) * b * c8 * itemsize
+                acc = tz * ty * nx * b * cblk * 4
+                wd = 27 * c8 * cblk * itemsize
+                out = 2 * tz * ty * nx * b * cblk * itemsize
+                if xs + acc + wd + out > budget:
+                    continue
+                steps = ncb * (d // tz) * (h // ty)
+                if best is None or steps < best[0]:
+                    best = (steps, tz, ty, ncb)
+    return None if best is None else best[1:]
+
+
+def _dil2_kernel_bm(tz, ty, nx, ncb, out_dtype,
+                    x_hbm, w_ref, b_ref, y_ref, s1_ref, s2_ref,
+                    xs, acc, sem):
+    nc = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    step = (nc * nz + zi) * ny + yi
+    total = ncb * nz * ny
+    slot = lax.rem(step, 2)
+
+    def dma(s_idx, z, y_):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(z * tz, tz + 2), pl.ds(y_ * ty, ty + 2)],
+            xs.at[s_idx],
+            sem.at[s_idx],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, zi, yi).start()
+
+    nxt = step + 1
+    lin = lax.rem(nxt, nz * ny)
+    z2 = lin // ny
+    y2 = lax.rem(lin, ny)
+
+    @pl.when(nxt < total)
+    def _():
+        dma(lax.rem(nxt, 2), z2, y2).start()
+
+    dma(slot, zi, yi).wait()
+
+    from itertools import product as _product
+
+    for t, (dz, dy, dx) in enumerate(_product(range(3), repeat=3)):
+        sl = xs[slot, dz : dz + tz, dy : dy + ty, dx : dx + nx]
+        part = lax.dot_general(
+            sl, w_ref[t], (((4,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if t == 0:
+            acc[...] = part + b_ref[0].astype(jnp.float32)
+        else:
+            acc[...] += part
+
+    y_ref[...] = acc[...].astype(out_dtype)
+    p1 = jnp.sum(acc[...], axis=(0, 1, 2))
+    p2 = jnp.sum(jnp.square(acc[...]), axis=(0, 1, 2))
+
+    @pl.when(jnp.logical_and(zi == 0, yi == 0))
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    s1_ref[...] += p1
+    s2_ref[...] += p2
+
+
+def dil2_conv_stats_bm(x, wd, bg):
+    """x (d, h, w, B, C8) batch-minor s2d; wd (3,3,3,C8,C8o) the
+    block-diagonal dense dil-2 kernel (see s2d.dil2_dense_weight);
+    bg (C8o,) tiled bias. Returns (y (d,h,w,B,C8o), s1, s2 (B,C8o)
+    f32 sums) or None when no tile fits the Mosaic/VMEM constraints."""
+    d, h, nx, b, c8 = x.shape
+    c8o = wd.shape[-1]
+    if c8 % 128 or c8o % 128:
+        return None
+    pick = _dil2_bm_pick(d, h, nx, b, c8, c8o, x.dtype.itemsize)
+    if pick is None:
+        return None
+    tz, ty, ncb = pick
+    cblk = c8o // ncb
+    xpad = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+    w27 = wd.reshape(27, c8, c8o)
+    kernel = partial(_dil2_kernel_bm, tz, ty, nx, ncb, x.dtype)
+    y, s1, s2 = pl.pallas_call(
+        kernel,
+        grid=(ncb, d // tz, h // ty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((27, c8, cblk), lambda nc, i, j: (0, 0, nc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cblk), lambda nc, i, j: (0, nc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tz, ty, nx, b, cblk),
+                         lambda nc, i, j: (i, j, 0, 0, nc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cblk), lambda nc, i, j: (0, nc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cblk), lambda nc, i, j: (0, nc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, h, nx, b, c8o), x.dtype),
+            jax.ShapeDtypeStruct((b, c8o), jnp.float32),
+            jax.ShapeDtypeStruct((b, c8o), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tz + 2, ty + 2, nx + 2, b, c8), x.dtype),
+            pltpu.VMEM((tz, ty, nx, b, cblk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 27 * d * h * nx * b * c8 * c8o,
+            bytes_accessed=(1 + ncb) * x.size * x.dtype.itemsize
+            + d * h * nx * b * c8o * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xpad, w27, bg.astype(jnp.float32)[None])
+    return y, s1, s2
+
+
+def _xla_dil2_gated_composition_bm(x, wd, bg, wgs, oh):
+    """Pure-XLA math of the fused bm dil-2 gated block (backward path
+    and CPU/shape-fallback reference): block-diag dense conv +
+    InstanceNorm + LeakyReLU + SE gates."""
+    from .conv import conv3d
+
+    y = conv3d(x, wd, bg, padding=1, batch_minor=True)
+    return _xla_gated_norm_composition_bm(y, wgs, oh)
+
+
+def _dil2_gated_forward_bm(x, wd, bg, wgs, oh, eps=1e-5):
+    r = dil2_conv_stats_bm(x, wd, bg)
+    if r is None:
+        return _xla_dil2_gated_composition_bm(x, wd, bg, wgs, oh)
+    y, s1, s2 = r
+    b = y.shape[3]
+    co = y.shape[-1] // 8
+    nvox = y.shape[0] * y.shape[1] * y.shape[2] * 8
+    mean = jnp.sum(s1.reshape(b, 8, co), axis=1) / nvox
+    ex2 = jnp.sum(s2.reshape(b, 8, co), axis=1) / nvox
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    out = gated_norm_finalize_bm(y, scale8, shift8, wgs, oh)
+    if out is None:
+        return _xla_dil2_gated_composition_bm(x, wd, bg, wgs, oh)
+    return out
+
+
+@jax.custom_vjp
+def dil2_gated_block_bm(x, wd, bg, wgs, oh):
+    """Fused batch-minor dil-2 block: block-diagonal dense conv +
+    statistics as one double-buffered Pallas kernel, then the streamed
+    finalize (IN + LeakyReLU + SE gates). Backward = exact XLA
+    composition."""
+    return _dil2_gated_forward_bm(x, wd, bg, wgs, oh)
+
+
+def _d2gbm_fwd(x, wd, bg, wgs, oh):
+    return _dil2_gated_forward_bm(x, wd, bg, wgs, oh), (x, wd, bg, wgs, oh)
+
+
+def _d2gbm_bwd(res, ct):
+    x, wd, bg, wgs, oh = res
+    _, vjp = jax.vjp(_xla_dil2_gated_composition_bm, x, wd, bg, wgs, oh)
+    return vjp(ct)
+
+
+dil2_gated_block_bm.defvjp(_d2gbm_fwd, _d2gbm_bwd)

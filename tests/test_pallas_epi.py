@@ -238,3 +238,64 @@ def test_bm_phased_epilogue_grads_match():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
         )
+
+
+def _make_dil2_bm(seed, n, ci, co, gates, b=8):
+    from se_unet_airseg_tpu.ops.s2d import dil2_dense_weight
+
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.standard_normal((n, n, n, b, 8 * ci), np.float32))
+    w = jnp.asarray(r.standard_normal((3, 3, 3, ci, co), np.float32) * 0.1)
+    bias = jnp.asarray(r.standard_normal(co, np.float32) * 0.1)
+    wd = dil2_dense_weight(w, jnp.float32)
+    bg = jnp.tile(bias, 8)
+    wgs, oh = [], None
+    for _ in range(gates):
+        wse = jnp.asarray(r.standard_normal((co, 1), np.float32) * 0.1)
+        wg, oh_ = se_gate_weights(wse, jnp.float32)
+        wgs.append(jnp.pad(wg, ((0, 0), (0, 128 - wg.shape[1]))))
+        oh = jnp.pad(oh_, ((0, 128 - oh_.shape[0]), (0, 0)))
+    return x, wd, bg, jnp.stack(wgs), oh
+
+
+@pytest.mark.parametrize("ci,co,gates", [(16, 32, 1), (32, 32, 2),
+                                         (32, 64, 2)])
+def test_bm_dil2_gated_block_matches_xla(ci, co, gates):
+    """The fused bm dil-2 kernel (double-buffered conv+stats) +
+    finalize equals the XLA composition at the model's three dil-2
+    block shapes (scaled down; the ncb channel split is exercised by
+    co=64 -> c8o=512 with the test-size VMEM budget)."""
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_dil2_gated_composition_bm,
+        dil2_conv_stats_bm,
+        dil2_gated_block_bm,
+    )
+
+    x, wd, bg, wgs, oh = _make_dil2_bm(11 + ci + gates, 8, ci, co, gates)
+    assert dil2_conv_stats_bm(x, wd, bg) is not None  # kernel, not fallback
+    out = dil2_gated_block_bm(x, wd, bg, wgs, oh)
+    ref = _xla_dil2_gated_composition_bm(x, wd, bg, wgs, oh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_bm_dil2_gated_block_grads_match():
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_dil2_gated_composition_bm,
+        dil2_gated_block_bm,
+    )
+
+    x, wd, bg, wgs, oh = _make_dil2_bm(42, 4, 16, 16, 1)
+    gp = jax.grad(
+        lambda t, w: jnp.sum(dil2_gated_block_bm(t, w, bg, wgs, oh) ** 2),
+        argnums=(0, 1),
+    )(x, wd)
+    gx = jax.grad(
+        lambda t, w: jnp.sum(
+            _xla_dil2_gated_composition_bm(t, w, bg, wgs, oh) ** 2
+        ),
+        argnums=(0, 1),
+    )(x, wd)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
