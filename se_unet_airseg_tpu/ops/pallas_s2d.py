@@ -1092,14 +1092,20 @@ def _phased_gated_forward_bm(xs, w_all, b_all, wgs, oh, eps=1e-5):
     n = xs[0].shape[0]
     b = xs[0].shape[3]
     y_ext = None
-    off = 0
-    for t in xs:
-        k = t.shape[-1]
-        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
-                    b_all if y_ext is None else None, padding=1,
-                    batch_minor=True)
-        y_ext = yt if y_ext is None else y_ext + yt
-        off += k
+    if os.environ.get("PALLAS_PCONV_BM", "1") == "1":
+        # double-buffered Pallas conv to the ungathered output; None
+        # when the shape misses the VMEM budget (e.g. dc3's 1024
+        # input lanes) -> keep the XLA conv
+        y_ext = phased_conv_ext_bm(xs, w_all, b_all)
+    if y_ext is None:
+        off = 0
+        for t in xs:
+            k = t.shape[-1]
+            yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                        b_all if y_ext is None else None, padding=1,
+                        batch_minor=True)
+            y_ext = yt if y_ext is None else y_ext + yt
+            off += k
     # y_ext: (n+1, n+1, n+1, B, 8Co)
     slices, s1, s2 = [], 0.0, 0.0
     for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
@@ -1308,6 +1314,176 @@ def dil2_conv_stats_bm(x, wd, bg):
         interpret=_use_interpret(),
     )(xpad, w27, bg.astype(jnp.float32)[None])
     return y, s1, s2
+
+
+# ----------- batch-minor phased conv (ungathered output) ------------
+#
+# The phased s2d conv's 2^3 block kernel is the model's main FLOP
+# carrier (dc5 alone: 576 GFLOP/tile); XLA runs it at ~58% MXU at the
+# dc5 shape. This kernel emits the (n+1)^3 phase-stacked output
+# UNGATHERED — each y_ext row is computed exactly once, avoiding the
+# (t+1)/t halo-recompute inflation that sank the round-2 in-kernel-
+# gather conv — with the same cross-step double-buffered input DMA as
+# the dil-2 kernel. The XLA gather+stats fusion and the streamed
+# finalize (see _phased_gated_forward_bm) consume y_ext unchanged, so
+# the kernel needs no vjp of its own: it sits inside
+# phased_gated_block_bm's custom_vjp forward.
+#
+# Plain-concat inputs stay separate (conv is linear in channels);
+# each input's x tile is double-buffered independently. Shapes whose
+# tiles cannot fit the scoped-VMEM budget (dc3's 1024 input lanes)
+# return None and keep the XLA conv.
+
+
+def _pconv_bm_pick(m, nx2, b, c8s, c8o, itemsize):
+    """(tz, ty, ncb) for the bm phased-conv kernel, or None. m = n+1
+    (65/33: divisors are few), nx2 = n+2. Maximizes compute per step
+    within the scoped-VMEM budget."""
+    budget = int(10.8 * 1024 * 1024)
+    divs = [d for d in range(1, m + 1) if m % d == 0 and d <= 16]
+    best = None
+    for ncb in (1, 2, 4):
+        if c8o % (ncb * 128):
+            continue
+        cblk = c8o // ncb
+        for tz in divs:
+            for ty in divs:
+                xs = sum(2 * (tz + 1) * (ty + 1) * nx2 * b * c * itemsize
+                         for c in c8s)
+                acc = tz * ty * m * b * cblk * 4
+                wd = 8 * sum(c8s) * cblk * itemsize
+                out = 2 * tz * ty * m * b * cblk * itemsize
+                if xs + acc + wd + out > budget:
+                    continue
+                work = tz * ty  # per-step rows ~ tz*ty*m*b
+                steps = ncb * (m // tz) * (m // ty)
+                if best is None or work > best[0] or (
+                        work == best[0] and steps < best[1]):
+                    best = (work, steps, tz, ty, ncb)
+    return None if best is None else best[2:]
+
+
+def _pconv_kernel_bm(tz, ty, m, nx2, ncb, nin, out_dtype, *refs):
+    x_hbms = refs[:nin]
+    w_refs = refs[nin : 2 * nin]
+    b_ref = refs[2 * nin]
+    y_ref = refs[2 * nin + 1]
+    xs_slots = refs[2 * nin + 2 : 2 * nin + 2 + nin]
+    acc = refs[2 * nin + 2 + nin]
+    sem = refs[2 * nin + 3 + nin]
+
+    nc = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    step = (nc * nz + zi) * ny + yi
+    total = ncb * nz * ny
+    slot = lax.rem(step, 2)
+
+    def dma(k, s_idx, z, y_):
+        return pltpu.make_async_copy(
+            x_hbms[k].at[pl.ds(z * tz, tz + 1), pl.ds(y_ * ty, ty + 1)],
+            xs_slots[k].at[s_idx],
+            sem.at[s_idx * nin + k],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for k in range(nin):
+            dma(k, 0, zi, yi).start()
+
+    nxt = step + 1
+    lin = lax.rem(nxt, nz * ny)
+    z2 = lin // ny
+    y2 = lax.rem(lin, ny)
+
+    @pl.when(nxt < total)
+    def _():
+        for k in range(nin):
+            dma(k, lax.rem(nxt, 2), z2, y2).start()
+
+    for k in range(nin):
+        dma(k, slot, zi, yi).wait()
+
+    first_tap = True
+    for k in range(nin):
+        for s in range(8):
+            sz, sy, sx = (s >> 2) & 1, (s >> 1) & 1, s & 1
+            sl = xs_slots[k][slot, sz : sz + tz, sy : sy + ty, sx : sx + m]
+            part = lax.dot_general(
+                sl, w_refs[k][s], (((4,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if first_tap:
+                acc[...] = part + b_ref[0].astype(jnp.float32)
+                first_tap = False
+            else:
+                acc[...] += part
+    y_ref[...] = acc[...].astype(out_dtype)
+
+
+def phased_conv_ext_bm(xs, w_all, b_all):
+    """Batch-minor phased conv to the UNGATHERED (n+1, n+1, n+1, B,
+    C8out) phase-stacked output. xs: list of (n,n,n,B,C8k) bm s2d
+    tensors forming a plain concat (w_all rows in matching order);
+    w_all (2,2,2,C8in,C8out); b_all (C8out,) or None. Returns y_ext or
+    None when no tile fits (caller keeps the XLA conv)."""
+    n = xs[0].shape[0]
+    b = xs[0].shape[3]
+    m, nx2 = n + 1, n + 2
+    c8s = [t.shape[-1] for t in xs]
+    c8o = w_all.shape[-1]
+    if c8o % 128 or any(c % 128 for c in c8s):
+        return None
+    pick = _pconv_bm_pick(m, nx2, b, c8s, c8o, xs[0].dtype.itemsize)
+    if pick is None:
+        return None
+    tz, ty, ncb = pick
+    cblk = c8o // ncb
+    nin = len(xs)
+    xpads = [jnp.pad(t, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+             for t in xs]
+    # per-input phase-stacked taps (8, C8k, C8o)
+    w8 = w_all.reshape(8, sum(c8s), c8o)
+    offs = np.concatenate([[0], np.cumsum(c8s)])
+    w_ins = [w8[:, offs[k] : offs[k + 1]] for k in range(nin)]
+    bg = (b_all if b_all is not None
+          else jnp.zeros((c8o,), xs[0].dtype)).astype(jnp.float32)
+    kernel = partial(_pconv_kernel_bm, tz, ty, m, nx2, ncb, nin, xs[0].dtype)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nin + [
+        pl.BlockSpec((8, c, cblk), lambda nc, i, j: (0, 0, nc),
+                     memory_space=pltpu.VMEM)
+        for c in c8s
+    ] + [
+        pl.BlockSpec((1, cblk), lambda nc, i, j: (0, nc),
+                     memory_space=pltpu.VMEM),
+    ]
+    y = pl.pallas_call(
+        kernel,
+        grid=(ncb, m // tz, m // ty),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tz, ty, m, b, cblk),
+                               lambda nc, i, j: (i, j, 0, 0, nc),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, m, m, b, c8o), xs[0].dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tz + 1, ty + 1, nx2, b, c), xs[0].dtype)
+            for c in c8s
+        ] + [
+            pltpu.VMEM((tz, ty, m, b, cblk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * nin,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * m * m * m * b * sum(c8s) * c8o,
+            bytes_accessed=(1 + ncb) * sum(
+                t.size * t.dtype.itemsize for t in xs)
+            + m * m * m * b * c8o * xs[0].dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(*xpads, *w_ins, bg[None])
+    return y
 
 
 def _xla_dil2_gated_composition_bm(x, wd, bg, wgs, oh):

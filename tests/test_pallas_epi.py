@@ -299,3 +299,33 @@ def test_bm_dil2_gated_block_grads_match():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cis,co", [((16,), 16), ((16, 16), 32)])
+def test_bm_phased_conv_ext_matches_xla(cis, co):
+    """The double-buffered ungathered bm phased-conv kernel equals the
+    summed per-input XLA convs (plain-concat linearity), including the
+    multi-input DMA slots."""
+    from se_unet_airseg_tpu.ops.conv import conv3d
+    from se_unet_airseg_tpu.ops.pallas_s2d import phased_conv_ext_bm
+
+    r = np.random.default_rng(sum(cis) + co)
+    w = jnp.asarray(
+        r.standard_normal((3, 3, 3, sum(cis), co), np.float32) * 0.1)
+    bias = jnp.asarray(r.standard_normal(co, np.float32) * 0.1)
+    w_all, b_all = phased_conv_weights(
+        w, bias, tuple(cis) if len(cis) > 1 else None)
+    xs = [jnp.asarray(r.standard_normal((8, 8, 8, 8, 8 * c), np.float32))
+          for c in cis]
+    got = phased_conv_ext_bm(xs, w_all, b_all)
+    assert got is not None
+    ref, off = None, 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if ref is None else None, padding=1,
+                    batch_minor=True)
+        ref = yt if ref is None else ref + yt
+        off += k
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
