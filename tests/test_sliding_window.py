@@ -63,3 +63,21 @@ def test_undersized_volume_pads_to_one_cube_only():
     out = runner.predict_hu(vol)
     assert out.shape == vol.shape
     assert np.isfinite(out).all()
+
+
+def test_engine_bm_kernels_match_default():
+    """The whole windowed engine (tiling + dual windowing + forward +
+    overlap average) under batch-minor layout with the fused Pallas
+    kernels (interpret mode on CPU) equals the default path."""
+    cube, step = 32, 16
+    cfg = SEUNetConfig()
+    cfg_bm = SEUNetConfig(batch_minor=True, use_pallas_epi=True)
+    params = init_params(jax.random.key(0), cfg)
+    vol = (np.random.default_rng(5).random((40, 33, 40)) * 1400.0
+           - 1000.0).astype(np.float32)
+    got0 = SlidingWindowRunner(params, cfg, cube=cube, step=step,
+                               batch=2).predict_hu(vol)
+    got1 = SlidingWindowRunner(params, cfg_bm, cube=cube, step=step,
+                               batch=2).predict_hu(vol)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(got0),
+                               atol=2e-5, rtol=1e-4)
