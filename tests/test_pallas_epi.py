@@ -329,3 +329,43 @@ def test_bm_phased_conv_ext_matches_xla(cis, co):
         off += k
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_bm_phased_finalize_matches_gathered():
+    """phased_finalize_bm (gather inside the finalize read) equals the
+    gather-concat + gated_norm_finalize_bm route and the XLA math."""
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_gated_norm_composition_bm,
+        phased_finalize_bm,
+    )
+
+    r = np.random.default_rng(7)
+    n, co, b = 8, 16, 8
+    y_ext = jnp.asarray(
+        r.standard_normal((n + 1, n + 1, n + 1, b, 8 * co), np.float32))
+    wse = jnp.asarray(r.standard_normal((co, 1), np.float32) * 0.1)
+    wg, oh = se_gate_weights(wse, jnp.float32)
+    wgs = jnp.stack([jnp.pad(wg, ((0, 0), (0, 128 - wg.shape[1])))])
+    ohp = jnp.pad(oh, ((0, 128 - oh.shape[0]), (0, 0)))
+    # gather reference
+    sls = []
+    s1 = s2 = 0.0
+    from itertools import product
+    for q, (a, bb, c) in enumerate(product(range(2), repeat=3)):
+        sl = y_ext[a : a + n, bb : bb + n, c : c + n, :,
+                   q * co : (q + 1) * co]
+        sls.append(sl)
+        s1 = s1 + jnp.sum(sl, axis=(0, 1, 2), dtype=jnp.float32)
+        s2 = s2 + jnp.sum(jnp.square(sl), axis=(0, 1, 2), dtype=jnp.float32)
+    y = jnp.concatenate(sls, axis=-1)
+    nvox = 8.0 * n * n * n
+    mean = s1 / nvox
+    var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
+    scale = 1.0 / jnp.sqrt(var + 1e-5)
+    scale8 = jnp.tile(scale, (1, 8))
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    got = phased_finalize_bm(y_ext, scale8, shift8, wgs, ohp)
+    assert got is not None
+    ref = _xla_gated_norm_composition_bm(y, wgs, ohp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
