@@ -1517,6 +1517,111 @@ def _pconv_bm_pick(m, nx2, b, c8s, c8o, itemsize):
     return None if best is None else best[2:]
 
 
+def _pconv_est_us(steps, m_rows, k, n_lanes):
+    """Crude per-config cost model: MXU at 80% of peak + 2 us/step of
+    grid/DMA bookkeeping (calibration target for the TPU probes)."""
+    fl = 8 * 2 * m_rows * k * n_lanes
+    return steps * (fl / 157e6 + 2.0)
+
+
+def _pconv_bm_pick_kgrid(m, nx2, b, c8s, c8o, itemsize):
+    """(tz, ty, ncb) for the k-grid variant (inputs as an inner grid
+    dim, accumulator persists across k), or None. Requires equal
+    input widths (weights are stacked along a leading dim)."""
+    if len(set(c8s)) != 1:
+        return None
+    budget = int(10.8 * 1024 * 1024)
+    c8 = c8s[0]
+    divs = [d for d in range(1, m + 1) if m % d == 0 and d <= 16]
+    best = None
+    for ncb in (1, 2, 4):
+        if c8o % (ncb * 128):
+            continue
+        cblk = c8o // ncb
+        for tz in divs:
+            for ty in divs:
+                xs = 2 * (tz + 1) * (ty + 1) * nx2 * b * c8 * itemsize
+                acc = tz * ty * m * b * cblk * 4
+                wd = 2 * 8 * c8 * cblk * itemsize  # double-buffered block
+                out = 2 * tz * ty * m * b * cblk * itemsize
+                if xs + acc + wd + out > budget:
+                    continue
+                steps = ncb * (m // tz) * (m // ty) * len(c8s)
+                est = _pconv_est_us(steps, tz * ty * m * b, c8, cblk)
+                if best is None or est < best[0]:
+                    best = (est, tz, ty, ncb)
+    return None if best is None else (best[0], best[1:])
+
+
+def _pconv_kgrid_kernel_bm(tz, ty, m, nx2, ncb, nin, out_dtype, *refs):
+    """k-grid phased conv: grid (ncb, z, y, k); the f32 accumulator
+    persists across the inner k steps (one input per step), the output
+    block is written once at k == nin-1."""
+    x_hbms = refs[:nin]
+    w_ref = refs[nin]
+    b_ref = refs[nin + 1]
+    y_ref = refs[nin + 2]
+    xs = refs[nin + 3]
+    acc = refs[nin + 4]
+    sem = refs[nin + 5]
+
+    nc = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    k = pl.program_id(3)
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    step = (((nc * nz) + zi) * ny + yi) * nin + k
+    total = ncb * nz * ny * nin
+    slot = lax.rem(step, 2)
+
+    def dma(kk, s_idx, z, y_):
+        return pltpu.make_async_copy(
+            x_hbms[kk].at[pl.ds(z * tz, tz + 1), pl.ds(y_ * ty, ty + 1)],
+            xs.at[s_idx],
+            sem.at[s_idx],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0, zi, yi).start()
+
+    nxt = step + 1
+    k2 = lax.rem(nxt, nin)
+    r2 = lax.rem(nxt // nin, nz * ny)
+    z2 = r2 // ny
+    y2 = lax.rem(r2, ny)
+    for kk in range(nin):
+        @pl.when(jnp.logical_and(nxt < total, k2 == kk))
+        def _():
+            dma(kk, lax.rem(nxt, 2), z2, y2).start()
+
+    # the wait only needs the semaphore+shape; source index irrelevant
+    dma(0, slot, zi, yi).wait()
+
+    for s in range(8):
+        sz, sy, sx = (s >> 2) & 1, (s >> 1) & 1, s & 1
+        sl = xs[slot, sz : sz + tz, sy : sy + ty, sx : sx + m]
+        part = lax.dot_general(
+            sl, w_ref[0, s], (((4,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if s == 0:
+            @pl.when(k == 0)
+            def _():
+                acc[...] = part + b_ref[0].astype(jnp.float32)
+
+            @pl.when(k > 0)
+            def _():
+                acc[...] += part
+        else:
+            acc[...] += part
+
+    @pl.when(k == nin - 1)
+    def _():
+        y_ref[...] = acc[...].astype(out_dtype)
+
+
 def _pconv_kernel_bm(tz, ty, m, nx2, ncb, nin, out_dtype, *refs):
     x_hbms = refs[:nin]
     w_refs = refs[nin : 2 * nin]
@@ -1577,12 +1682,62 @@ def _pconv_kernel_bm(tz, ty, m, nx2, ncb, nin, out_dtype, *refs):
     y_ref[...] = acc[...].astype(out_dtype)
 
 
+def _pconv_kgrid_forward(xs, w_all, b_all, pick):
+    """k-grid launch of the bm phased conv (equal-width inputs as an
+    inner grid dim; accumulator persists across k)."""
+    n = xs[0].shape[0]
+    b = xs[0].shape[3]
+    m, nx2 = n + 1, n + 2
+    c8 = xs[0].shape[-1]
+    c8o = w_all.shape[-1]
+    tz, ty, ncb = pick
+    cblk = c8o // ncb
+    nin = len(xs)
+    xpads = [jnp.pad(t, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+             for t in xs]
+    w8 = w_all.reshape(8, nin, c8, c8o).transpose(1, 0, 2, 3)
+    bg = (b_all if b_all is not None
+          else jnp.zeros((c8o,), xs[0].dtype)).astype(jnp.float32)
+    kernel = partial(_pconv_kgrid_kernel_bm, tz, ty, m, nx2, ncb, nin,
+                     xs[0].dtype)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nin + [
+        pl.BlockSpec((1, 8, c8, cblk), lambda nc, i, j, k: (k, 0, 0, nc),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cblk), lambda nc, i, j, k: (0, nc),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(ncb, m // tz, m // ty, nin),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tz, ty, m, b, cblk),
+                               lambda nc, i, j, k: (i, j, 0, 0, nc),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, m, m, b, c8o), xs[0].dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tz + 1, ty + 1, nx2, b, c8), xs[0].dtype),
+            pltpu.VMEM((tz, ty, m, b, cblk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * m * m * m * b * nin * c8 * c8o,
+            bytes_accessed=(1 + ncb) * sum(
+                t.size * t.dtype.itemsize for t in xs)
+            + m * m * m * b * c8o * xs[0].dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(*xpads, w8, bg[None])
+
+
 def phased_conv_ext_bm(xs, w_all, b_all):
     """Batch-minor phased conv to the UNGATHERED (n+1, n+1, n+1, B,
     C8out) phase-stacked output. xs: list of (n,n,n,B,C8k) bm s2d
     tensors forming a plain concat (w_all rows in matching order);
     w_all (2,2,2,C8in,C8out); b_all (C8out,) or None. Returns y_ext or
-    None when no tile fits (caller keeps the XLA conv)."""
+    None when no tile fits (caller keeps the XLA conv). Equal-width
+    multi-input shapes may route to the k-grid variant when its cost
+    estimate wins (dc3's 1024 combined input lanes)."""
     n = xs[0].shape[0]
     b = xs[0].shape[3]
     m, nx2 = n + 1, n + 2
@@ -1590,12 +1745,21 @@ def phased_conv_ext_bm(xs, w_all, b_all):
     c8o = w_all.shape[-1]
     if c8o % 128 or any(c % 128 for c in c8s):
         return None
+    nin = len(xs)
     pick = _pconv_bm_pick(m, nx2, b, c8s, c8o, xs[0].dtype.itemsize)
+    est_a = None
+    if pick is not None:
+        tz_a, ty_a, ncb_a = pick
+        steps_a = ncb_a * (m // tz_a) * (m // ty_a)
+        est_a = _pconv_est_us(steps_a, tz_a * ty_a * m * b, sum(c8s),
+                              c8o // ncb_a)
+    kg = _pconv_bm_pick_kgrid(m, nx2, b, c8s, c8o, xs[0].dtype.itemsize)
+    if kg is not None and nin > 1 and (est_a is None or kg[0] < est_a):
+        return _pconv_kgrid_forward(xs, w_all, b_all, kg[1])
     if pick is None:
         return None
     tz, ty, ncb = pick
     cblk = c8o // ncb
-    nin = len(xs)
     xpads = [jnp.pad(t, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
              for t in xs]
     # per-input phase-stacked taps (8, C8k, C8o)

@@ -369,3 +369,36 @@ def test_bm_phased_finalize_matches_gathered():
     ref = _xla_gated_norm_composition_bm(y, wgs, ohp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_bm_phased_conv_kgrid_matches_xla():
+    """The k-grid pconv variant (inputs as inner grid dim, persistent
+    accumulator) equals the summed per-input XLA convs."""
+    from se_unet_airseg_tpu.ops.conv import conv3d
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _pconv_bm_pick_kgrid,
+        _pconv_kgrid_forward,
+    )
+
+    r = np.random.default_rng(13)
+    n, cis, co = 8, (16, 16), 32
+    w = jnp.asarray(
+        r.standard_normal((3, 3, 3, sum(cis), co), np.float32) * 0.1)
+    bias = jnp.asarray(r.standard_normal(co, np.float32) * 0.1)
+    w_all, b_all = phased_conv_weights(w, bias, cis)
+    xs = [jnp.asarray(r.standard_normal((n, n, n, 8, 8 * c), np.float32))
+          for c in cis]
+    kg = _pconv_bm_pick_kgrid(n + 1, n + 2, 8, [8 * c for c in cis],
+                              8 * co, 4)
+    assert kg is not None
+    got = _pconv_kgrid_forward(xs, w_all, b_all, kg[1])
+    ref, off = None, 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if ref is None else None, padding=1,
+                    batch_minor=True)
+        ref = yt if ref is None else ref + yt
+        off += k
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
