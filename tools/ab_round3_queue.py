@@ -5,10 +5,10 @@ compiles serially; concurrent clients wedge the queue) and logs
 everything to stdout. Stops BEFORE any whole-model compile — those are
 chosen by hand from these results.
 
-Stages:
-  1. probe_bm_kernel          — bm gathered-epilogue legality/timing
-  2. quickbench_pconv_bm ec4, dc4, dc6, dc5, dc3   (cheap -> expensive)
-  3. quickbench_dil2_bm  ec3, ec5, ec6
+Order is by expected payoff: the three dil-2 blocks cost ~17 of the
+32.6 ms/tile under XLA (the fused kernel projects ~6-9), then the
+full phased blocks (which also legality-probe phased_finalize_bm and
+phased_conv_ext_bm), then the dc3 k-grid conv.
 
 Each stage gets a generous timeout; on a timeout we STOP the queue
 entirely (a killed client does NOT cancel the server-side compile —
@@ -19,27 +19,43 @@ import sys
 import time
 
 HERE = "/root/repo/tools"
+PY = sys.executable
 
 STAGES = [
-    ("probe_bm", [sys.executable, f"{HERE}/probe_bm_kernel.py"], 2400),
-    ("pconv ec4", [sys.executable, f"{HERE}/quickbench_pconv_bm.py", "ec4"], 3600),
-    ("pconv dc4", [sys.executable, f"{HERE}/quickbench_pconv_bm.py", "dc4"], 3600),
-    ("pconv dc6", [sys.executable, f"{HERE}/quickbench_pconv_bm.py", "dc6"], 3600),
-    ("pconv dc5", [sys.executable, f"{HERE}/quickbench_pconv_bm.py", "dc5"], 5400),
-    ("pconv dc3", [sys.executable, f"{HERE}/quickbench_pconv_bm.py", "dc3"], 5400),
-    ("dil2 ec3", [sys.executable, f"{HERE}/quickbench_dil2_bm.py", "ec3"], 5400),
-    ("dil2 ec5", [sys.executable, f"{HERE}/quickbench_dil2_bm.py", "ec5"], 3600),
-    ("dil2 ec6", [sys.executable, f"{HERE}/quickbench_dil2_bm.py", "ec6"], 3600),
+    ("probe_bm", [PY, f"{HERE}/probe_bm_kernel.py"], 2400, None),
+    ("dil2 ec3", [PY, f"{HERE}/quickbench_dil2_bm.py", "ec3"], 5400, None),
+    ("dil2 ec5", [PY, f"{HERE}/quickbench_dil2_bm.py", "ec5"], 5400, None),
+    ("dil2 ec6", [PY, f"{HERE}/quickbench_dil2_bm.py", "ec6"], 5400, None),
+    ("pblock ec4", [PY, f"{HERE}/quickbench_pblock_bm.py", "ec4"], 7200, None),
+    ("pblock dc6", [PY, f"{HERE}/quickbench_pblock_bm.py", "dc6"], 7200, None),
+    ("pblock dc5", [PY, f"{HERE}/quickbench_pblock_bm.py", "dc5"], 7200, None),
+    ("pblock dc4", [PY, f"{HERE}/quickbench_pblock_bm.py", "dc4"], 7200, None),
+    ("pconv dc3", [PY, f"{HERE}/quickbench_pconv_bm.py", "dc3"], 5400, None),
+    # model-level (run explicitly: `ab_round3_queue.py model-bm ...`);
+    # each is a whole-model compile — long, one at a time
+    ("model-bm", [PY, f"{HERE}/voltime.py"], 14400,
+     {"FASTPATH_BM": "1"}),
+    ("model-bm-ec12p", [PY, f"{HERE}/voltime.py"], 14400,
+     {"FASTPATH_BM": "1", "FASTPATH_EC12_PHASED": "1"}),
+    ("model-control", [PY, f"{HERE}/voltime.py"], 14400, {}),
 ]
 
 
 def main():
-    for name, cmd, tmo in STAGES:
+    import os
+
+    only = set(sys.argv[1:])
+    for name, cmd, tmo, env in STAGES:
+        if env is not None and not only:
+            continue  # model-level stages never run implicitly
+        if only and not any(k in name for k in only):
+            continue
         print(f"=== {time.strftime('%H:%M:%S')} stage {name} ===", flush=True)
         t0 = time.time()
         try:
             r = subprocess.run(cmd, timeout=tmo, text=True,
-                               capture_output=True)
+                               capture_output=True,
+                               env={**os.environ, **(env or {})})
         except subprocess.TimeoutExpired as e:
             print(f"STAGE {name} TIMED OUT after {tmo}s — queue likely "
                   f"wedged; STOPPING (do not pile on).", flush=True)
