@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 End-to-end path (the reference's test.py flow, SURVEY.md §3.3): HU
 volume upload -> dual windowing -> 128^3/stride-64 sliding-window
 forward (s2d fast path, bf16) with on-device overlap averaging ->
-on-device double-threshold packing (2-bit trits, 16x smaller
+on-device double-threshold packing (base-3 trits, 5/byte, 20x smaller
 download) -> host DTI hysteresis + largest-26-CC -> binary mask.
 
 Measurement design (VERDICT r2 items 2-3):

@@ -11,9 +11,9 @@ inside a single jit per tile batch, so the only host<->device traffic
 is one volume upload and one result download.
 
 Downloads are the bottleneck on tunneled TPU hosts, so the engine can
-emit, instead of the float32 probability volume, a 2-bit "trit" field
-(0 = below low threshold, 1 = hysteresis band, 2 = seed) packed 4
-voxels/byte — a 16x smaller download that losslessly preserves
+emit, instead of the float32 probability volume, a "trit" field
+(0 = below low threshold, 1 = hysteresis band, 2 = seed) packed base-3
+at 5 voxels/byte — a 20x smaller download that losslessly preserves
 everything the double-threshold-iteration + largest-CC postprocessing
 needs.
 
@@ -53,13 +53,13 @@ def _pad_to_cube(vol: np.ndarray, cube: int, fill: float):
 
 
 def unpack_trits(packed: np.ndarray, n_voxels: int, shape) -> np.ndarray:
-    """Inverse of the device-side 4-voxel/byte packing."""
-    b = packed.reshape(-1)
-    out = np.empty(b.size * 4, np.uint8)
-    out[0::4] = b & 3
-    out[1::4] = (b >> 2) & 3
-    out[2::4] = (b >> 4) & 3
-    out[3::4] = (b >> 6) & 3
+    """Inverse of the device-side base-3 5-voxel/byte packing."""
+    b = packed.reshape(-1).astype(np.uint8)
+    out = np.empty(b.size * 5, np.uint8)
+    for k in range(5):
+        out[k::5] = b % 3
+        if k < 4:
+            b = b // 3
     return out[:n_voxels].reshape(shape)
 
 
@@ -201,11 +201,15 @@ class SlidingWindowRunner:
             + (avg >= h_thresh).astype(jnp.uint8)
         ).reshape(-1)
         n = trit.shape[0]
-        pad = (-n) % 4
+        # base-3, 5 voxels/byte (3^5 = 243): 20% less download than the
+        # 2-bit pack — the tunneled device->host fetch is the engine's
+        # one serial channel, so its rate bounds volume throughput
+        pad = (-n) % 5
         if pad:
             trit = jnp.concatenate([trit, jnp.zeros(pad, jnp.uint8)])
-        t = trit.reshape(-1, 4)
-        return t[:, 0] | (t[:, 1] << 2) | (t[:, 2] << 4) | (t[:, 3] << 6)
+        t = trit.reshape(-1, 5)
+        return (t[:, 0] + 3 * t[:, 1] + 9 * t[:, 2] + 27 * t[:, 3]
+                + 81 * t[:, 4])
 
     def _volume_fn(self, padded_shape: tuple, n_batches: int):
         """One jitted program for the WHOLE volume: fori_loop over tile
@@ -303,7 +307,7 @@ class SlidingWindowRunner:
         l_thresh: float = 0.4, rng=None, hu_shift: float = 0.0,
     ) -> np.ndarray:
         """HU volume -> uint8 trit volume (0 below / 1 band / 2 seed),
-        thresholded and packed on device (16x smaller download)."""
+        thresholded and packed on device (20x smaller download)."""
         packed, padded_shape, orig = self.predict_trits_device(
             hu_volume, h_thresh=h_thresh, l_thresh=l_thresh, rng=rng,
             hu_shift=hu_shift,

@@ -81,3 +81,25 @@ def test_engine_bm_kernels_match_default():
                                batch=2).predict_hu(vol)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(got0),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_trit_pack_roundtrip_and_density():
+    """Base-3 5-voxel/byte packing: losslessly inverted by
+    unpack_trits, and the packed payload is ceil(n/5) bytes (the
+    device->host download this engine ships per volume)."""
+    from se_unet_airseg_tpu.infer.sliding_window import unpack_trits
+
+    shape = (7, 9, 11)
+    r = np.random.default_rng(0)
+    avg = r.random(shape).astype(np.float32)
+    packed = np.asarray(
+        SlidingWindowRunner._trit_pack(
+            jnp.asarray(avg), jnp.ones(shape, jnp.float32), 0.6, 0.3
+        )
+    )
+    n = int(np.prod(shape))
+    assert packed.dtype == np.uint8
+    assert packed.size == -(-n // 5)
+    trits = unpack_trits(packed, n, shape)
+    ref = (avg >= 0.3).astype(np.uint8) + (avg >= 0.6).astype(np.uint8)
+    np.testing.assert_array_equal(trits, ref)
