@@ -38,6 +38,8 @@ STAGES = [
     ("model-bm-ec12p", [PY, f"{HERE}/voltime.py"], 14400,
      {"FASTPATH_BM": "1", "FASTPATH_EC12_PHASED": "1"}),
     ("model-control", [PY, f"{HERE}/voltime.py"], 14400, {}),
+    ("model-bm-b12", [PY, f"{HERE}/voltime.py"], 14400,
+     {"FASTPATH_BM": "1", "BATCH": "12"}),
 ]
 
 
