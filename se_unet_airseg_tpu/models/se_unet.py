@@ -920,15 +920,40 @@ def apply_fast(
 
     if cfg.remat:
         # rematerialize each block in backward so 128^3 crop training
-        # fits single-chip HBM on the fast path too
-        def _wrap(f):
+        # fits single-chip HBM on the fast path too.
+        #
+        # REMAT_SKIP_WHOLEBLOCK=1: calls routed ENTIRELY through a
+        # whole-block custom_vjp (phased_gated_block[_bm],
+        # dil2_gated_block_bm) skip the checkpoint — their vjp residuals
+        # are the block INPUTS (= the remat boundary values, saved
+        # either way) and their backward recomputes from those inputs
+        # via the XLA composition, so checkpointing them adds a Pallas
+        # forward replay the backward never consumes. Off by default
+        # pending a TPU A/B that XLA doesn't already DCE the replay.
+        skip_whole = os.environ.get("REMAT_SKIP_WHOLEBLOCK", "0") == "1"
+
+        def _phased_whole(kw):
+            pre_ = kw.get("pre")
+            return bool(kw.get("use_epi")) and pre_ is not None \
+                and "epi_wgs" in pre_
+
+        def _dil2_whole(kw):
+            return (bool(kw.get("bm")) and _phased_whole(kw)
+                    and "wdense" in kw["pre"]
+                    and os.environ.get("PALLAS_DIL2BM", "1") == "1")
+
+        def _wrap(f, whole_pred=None):
             def wrapped(pb, xb, **kw):
+                if skip_whole and whole_pred is not None and whole_pred(kw):
+                    return f(pb, xb, **kw)
                 return jax.checkpoint(lambda p_, x_: f(p_, x_, **kw))(pb, xb)
             return wrapped
 
         _sse_block_s2d = _wrap(globals()["_sse_block_s2d"])
-        _sse_block_s2d_dil2 = _wrap(globals()["_sse_block_s2d_dil2"])
-        _sse_block_s2d_phased = _wrap(globals()["_sse_block_s2d_phased"])
+        _sse_block_s2d_dil2 = _wrap(globals()["_sse_block_s2d_dil2"],
+                                    _dil2_whole)
+        _sse_block_s2d_phased = _wrap(globals()["_sse_block_s2d_phased"],
+                                      _phased_whole)
         _sse_block = _wrap(globals()["_sse_block"])
         # _wrap (not bare jax.checkpoint): pre/use_epi/bm stay closed
         # over, so the static bools never become traced leaves

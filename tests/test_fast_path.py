@@ -114,6 +114,31 @@ def test_batch_minor_grads_match():
         )
 
 
+def test_remat_skip_wholeblock_grads_match(monkeypatch):
+    """REMAT_SKIP_WHOLEBLOCK=1 (no jax.checkpoint around calls routed
+    through a whole-block custom_vjp — their residuals are the block
+    inputs either way) must leave gradients bitwise-unchanged vs the
+    fully-checkpointed trace, in the config where those paths are
+    active (batch_minor + pallas epilogue + prepared fast params)."""
+    from se_unet_airseg_tpu.models.se_unet import prepare_fast_params
+
+    cfg = SEUNetConfig(batch_minor=True, use_pallas_epi=True, remat=True)
+    params = init_params(jax.random.key(30), cfg)
+    x = jax.random.normal(jax.random.key(31), (1, 16, 16, 16, 2), jnp.float32)
+    fp = jax.jit(lambda p: prepare_fast_params(p, cfg, n=8))(params)
+
+    def loss(p):
+        en, de = apply_fast(p, x, cfg=cfg, fast_params=fp)
+        return jnp.sum(jnp.square(en)) + jnp.sum(jnp.square(de))
+
+    g0 = jax.grad(loss)(params)
+    monkeypatch.setenv("REMAT_SKIP_WHOLEBLOCK", "1")
+    g1 = jax.grad(loss)(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_ec12_phased_routing_matches():
     """ec12_phased=True (lift-free phased ec1/ec2) equals the default
     dense-lift routing, in both layouts, with prepared fast params."""
