@@ -47,16 +47,12 @@ A100_BASELINE_TRAIN_PATCHES_PER_S = 4.7
 
 
 def _enable_persistent_cache():
-    import jax
+    from se_unet_airseg_tpu.utils.cache import enable_persistent_cache
 
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass  # cache unsupported on this backend/version: compile as usual
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache")
+    )
 
 
 def bench_inference():
@@ -119,8 +115,10 @@ def bench_inference():
     iv = np.diff(np.asarray(ts))[n_vols:]
     blocks = np.sort(iv.reshape(-1, n_vols).sum(axis=1))
     p50 = float(blocks[len(blocks) // 2])
+    # round-half-up index (Python round() is half-to-even: with 6
+    # windows it would report blocks[4] ~ p80 as "p90")
     p90 = float(blocks[min(len(blocks) - 1,
-                           int(round(0.9 * (len(blocks) - 1))))])
+                           int(0.9 * (len(blocks) - 1) + 0.5))])
     tiles_per_s = n_vols * n_tiles / p50
     spread = float((blocks[-1] - blocks[0]) / p50)
 
@@ -149,7 +147,10 @@ def bench_inference():
     print(json.dumps(out))
 
 
-def _train_step_metrics():
+def _train_step_metrics(runs: int = 5, prefix: str = "train_"):
+    """Time the stage-1 pjit train step at 128^3 (bf16 + remat, fast
+    path) — the one benchmark body behind both the train_* fields in
+    the inference line and the BENCH_TRAIN=1 mode."""
     import jax
     import jax.numpy as jnp
 
@@ -174,63 +175,15 @@ def _train_step_metrics():
         ),
     }
     key = jax.random.key(1)
-    state, aux = step(state, batch, key)
-    float(aux["loss"])  # sync
+    # the loss fetch is the sync: block_until_ready is unreliable over
+    # the tunneled host
+    state, aux = step(state, batch, key)  # compile + warm
+    float(aux["loss"])
     times = []
-    for i in range(5):
+    for i in range(runs):
         t0 = time.perf_counter()
         state, aux = step(state, batch, jax.random.fold_in(key, i))
         float(aux["loss"])
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    p50 = times[len(times) // 2]
-    pps = bsz / p50
-    return {
-        "train_patches_per_s": round(pps, 2),
-        "train_vs_baseline": round(pps / A100_BASELINE_TRAIN_PATCHES_PER_S, 2),
-        "train_step_p50_s": round(p50, 3),
-        "train_batch": bsz,
-    }
-
-
-def bench_train():
-    import jax
-    import jax.numpy as jnp
-
-    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
-    from se_unet_airseg_tpu.train.step import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
-
-    cfg = SEUNetConfig(compute_dtype=jnp.bfloat16, remat=True)
-    params = init_params(jax.random.key(0), cfg)
-    opt, _ = make_optimizer()
-    state = create_train_state(params, opt)
-    step = make_train_step(opt, cfg, stage=1)
-    bsz = int(os.environ.get("BENCH_TRAIN_B", "8"))
-    rng = np.random.default_rng(0)
-    batch = {
-        "image": jnp.asarray(
-            rng.random((bsz, 128, 128, 128, 2), np.float32)
-        ),
-        "label": jnp.asarray(
-            (rng.random((bsz, 128, 128, 128)) > 0.7).astype(np.float32)
-        ),
-    }
-    key = jax.random.key(1)
-
-    def sync(aux):
-        return float(aux["loss"])  # host fetch: reliable sync over the relay
-
-    state, aux = step(state, batch, key)  # compile + warm
-    sync(aux)
-    times = []
-    for i in range(int(os.environ.get("BENCH_RUNS", "7"))):
-        t0 = time.perf_counter()
-        state, aux = step(state, batch, jax.random.fold_in(key, i))
-        sync(aux)
         t = time.perf_counter() - t0
         if os.environ.get("BENCH_DEBUG"):
             print(f"step: {t*1e3:.0f} ms", file=sys.stderr)
@@ -238,18 +191,31 @@ def bench_train():
     times.sort()
     p50 = times[len(times) // 2]
     pps = bsz / p50
+    return {
+        f"{prefix}patches_per_s": round(pps, 2),
+        f"{prefix}vs_baseline": round(
+            pps / A100_BASELINE_TRAIN_PATCHES_PER_S, 2
+        ),
+        f"{prefix}step_p50_s": round(p50, 3),
+        f"{prefix}batch": bsz,
+        f"{prefix}rel_spread": round((times[-1] - times[0]) / p50, 3),
+    }
+
+
+def bench_train():
+    m = _train_step_metrics(
+        runs=int(os.environ.get("BENCH_RUNS", "7")), prefix=""
+    )
     print(
         json.dumps(
             {
                 "metric": "train_step_128^3_patches_per_sec_per_chip",
-                "value": round(pps, 2),
+                "value": m["patches_per_s"],
                 "unit": "patches/s",
-                "vs_baseline": round(
-                    pps / A100_BASELINE_TRAIN_PATCHES_PER_S, 2
-                ),
-                "p50_s": round(p50, 3),
-                "batch": bsz,
-                "rel_spread": round((times[-1] - times[0]) / p50, 3),
+                "vs_baseline": m["vs_baseline"],
+                "p50_s": m["step_p50_s"],
+                "batch": m["batch"],
+                "rel_spread": m["rel_spread"],
             }
         )
     )

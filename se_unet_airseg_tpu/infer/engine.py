@@ -17,7 +17,7 @@ Mirrors the reference's three inference consumers:
     `*_pred_mask.nii.gz` plus the skeleton-centered STL export.
 
 All volume math (windowing, tiling, forward, overlap average,
-double-threshold packing) runs on device; only 2-bit trit fields are
+double-threshold packing) runs on device; only base-3 packed trit fields (5 voxels/byte) are
 downloaded (SlidingWindowRunner docstring).
 """
 

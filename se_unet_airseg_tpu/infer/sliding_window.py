@@ -134,8 +134,16 @@ class SlidingWindowRunner:
         # one device dispatch per volume instead of one per tile batch
         # (each dispatch costs ~50 ms over tunneled hosts)
         self._volume_fns: dict = {}
-        # reciprocal overlap counts, cached per padded shape
-        self._inv_cnt_cache: dict = {}
+        # reciprocal overlap counts, cached per padded shape — LRU-
+        # capped: each entry is a device-resident f32 volume (~100-400
+        # MB), and a many-case loop (73 ATM22 volumes, one cut shape
+        # each) must not accumulate them in HBM. Recomputing on a miss
+        # is a cheap host pass; the compiled programs above stay
+        # uncapped (re-compiles are the expensive resource).
+        from collections import OrderedDict
+
+        self._inv_cnt_cache: OrderedDict = OrderedDict()
+        self._inv_cnt_cap = 2
 
     def set_params(self, params) -> "SlidingWindowRunner":
         """Swap the parameter pytree WITHOUT invalidating the compiled
@@ -251,6 +259,10 @@ class SlidingWindowRunner:
                 cnt[x : x + c, y : y + c, z : z + c] += 1.0
             inv = jnp.asarray(1.0 / np.maximum(cnt, 1.0))
             self._inv_cnt_cache[key] = inv
+            while len(self._inv_cnt_cache) > self._inv_cnt_cap:
+                self._inv_cnt_cache.popitem(last=False)
+        else:
+            self._inv_cnt_cache.move_to_end(key)
         return inv
 
     def _run(self, hu_volume: np.ndarray, rng, hu_shift: float = 0.0):

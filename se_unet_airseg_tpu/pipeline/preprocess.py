@@ -125,10 +125,18 @@ def lung_fields(array: np.ndarray, threshold: float) -> np.ndarray:
     return L
 
 
-def largest_cc_midslice_fallback(mask: np.ndarray) -> np.ndarray:
+def largest_cc_midslice_fallback(mask: np.ndarray,
+                                 probe_z=None) -> np.ndarray:
     """Largest 26-CC, falling back to the 2nd-largest when the largest
     misses all three probe z-slices; fill holes (reference
-    util.py:58-75)."""
+    util.py:58-75).
+
+    `probe_z` overrides the probe slice indices (default: z//2, z//3,
+    z//3*2 of `mask` itself). Callers operating on a bounding-box crop
+    must pass the FULL-volume probe slices mapped into crop
+    coordinates — the reference always probes the full volume; indices
+    outside the crop count as misses (the largest CC cannot intersect
+    a plane outside its crop)."""
     labels, n = connected_components(mask.astype(np.uint8), 26)
     if n == 0:
         return np.zeros(mask.shape, np.uint8)
@@ -136,11 +144,10 @@ def largest_cc_midslice_fallback(mask: np.ndarray) -> np.ndarray:
     order = np.argsort(counts, kind="stable")[::-1]
     best = labels == order[0] + 1
     z = mask.shape[2]
-    if (
-        n > 1
-        and not best[:, :, z // 2].any()
-        and not best[:, :, z // 3].any()
-        and not best[:, :, z // 3 * 2].any()
+    if probe_z is None:
+        probe_z = (z // 2, z // 3, z // 3 * 2)
+    if n > 1 and not any(
+        best[:, :, p].any() for p in probe_z if 0 <= p < z
     ):
         best = labels == order[1] + 1
     return ndimage.binary_fill_holes(best).astype(np.uint8)

@@ -66,7 +66,9 @@ def skeleton_parsing(skeleton: np.ndarray):
     298-branch CASE073 parity depends on."""
     sk = (skeleton != 0)
     coords = np.argwhere(sk)
-    pad = np.pad(sk, 1).astype(np.uint8)
+    # symmetric = scipy ndimage.convolve's default mode='reflect'
+    # (reference atm22_skel_parse.py:88 relies on it at volume borders)
+    pad = np.pad(sk, 1, mode='symmetric').astype(np.uint8)
     cz, cy, cx = coords[:, 0] + 1, coords[:, 1] + 1, coords[:, 2] + 1
     count = np.zeros(len(coords), np.int32)
     for dz in (-1, 0, 1):

@@ -478,8 +478,15 @@ class TopologyTree:
         vol = ndimage.binary_closing(vol)
         # maximum_3d semantics: largest CC with 2nd-largest mid-slice
         # fallback + fill holes (reference sub() calls maximum_3d,
-        # ours_skel_parse.py:580 -> util.py:58-75)
-        vol = largest_cc_midslice_fallback(vol.astype(np.uint8))
+        # ours_skel_parse.py:580 -> util.py:58-75). The reference
+        # probes FULL-volume slices z//2, z//3, z//3*2 — map them into
+        # crop coordinates (out-of-crop probes are automatic misses)
+        zf = self.label.shape[2]
+        z0 = sl[2].start
+        vol = largest_cc_midslice_fallback(
+            vol.astype(np.uint8),
+            probe_z=(zf // 2 - z0, zf // 3 - z0, zf // 3 * 2 - z0),
+        )
         skel_c = skeletonize_3d(vol)
         skel = np.zeros(self.label.shape, np.uint8)
         skel[sl] = skel_c

@@ -50,7 +50,10 @@ def main():
     for name, cmd, tmo, env in STAGES:
         if env is not None and not only:
             continue  # model-level stages never run implicitly
-        if only and not any(k in name for k in only):
+        # exact-name match: a substring ("model-bm") must not also
+        # launch "model-bm-ec12p"/"model-bm-b12" — each model stage is
+        # a whole-model compile on the serial relay queue
+        if only and name not in only:
             continue
         print(f"=== {time.strftime('%H:%M:%S')} stage {name} ===", flush=True)
         t0 = time.time()

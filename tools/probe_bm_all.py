@@ -27,13 +27,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from se_unet_airseg_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from se_unet_airseg_tpu.ops.pallas_s2d import (
         dil2_gated_block_bm,

@@ -25,13 +25,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from se_unet_airseg_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from se_unet_airseg_tpu.ops.conv import conv3d
     from se_unet_airseg_tpu.ops.pallas_s2d import gated_norm_block
@@ -50,11 +46,10 @@ def main():
                         jnp.bfloat16)
         wg_t = jnp.tile(w, (1, 1, 1, 1, 8))
         bg = jnp.tile(b, 8)
-        wd = np.zeros((3, 3, 3, 8 * c, 8 * c), np.float32)
-        wnp = np.asarray(w, np.float32)
-        for g in range(8):
-            wd[:, :, :, g * c : (g + 1) * c, g * c : (g + 1) * c] = wnp
-        wd = jnp.asarray(wd, jnp.bfloat16)
+        # the canonical block-diagonal lift — what the model runs
+        from se_unet_airseg_tpu.ops.s2d import dil2_dense_weight
+
+        wd = dil2_dense_weight(w, jnp.bfloat16)
         wgs, oh = [], None
         for _ in range(gates):
             wse = jnp.asarray(r.standard_normal((c, 1), np.float32) * 0.1)

@@ -32,13 +32,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from se_unet_airseg_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from se_unet_airseg_tpu.ops.pallas_s2d import (
         _xla_phased_gated_composition_bm,
