@@ -17,8 +17,9 @@ Mirrors the reference's three inference consumers:
     `*_pred_mask.nii.gz` plus the skeleton-centered STL export.
 
 All volume math (windowing, tiling, forward, overlap average,
-double-threshold packing) runs on device; only base-3 packed trit fields (5 voxels/byte) are
-downloaded (SlidingWindowRunner docstring).
+double-threshold coding) runs on device; downloads use the block-
+constant trit codec (per-block summary + payload chunks fetched only
+for mixed blocks — SlidingWindowRunner docstring).
 """
 
 from __future__ import annotations

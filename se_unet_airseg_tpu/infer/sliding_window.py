@@ -63,6 +63,46 @@ def unpack_trits(packed: np.ndarray, n_voxels: int, shape) -> np.ndarray:
     return out[:n_voxels].reshape(shape)
 
 
+# --- block-constant trit codec ---------------------------------------
+# The trit field is overwhelmingly block-constant: background far from
+# the airway is all-0, saturated interior all-2; only hysteresis-band
+# boundary blocks are mixed. The engine therefore emits a per-block
+# min/max summary (2 bits each, one byte per VOX_PER_BLOCK voxels)
+# next to the base-3 payload, with the payload split into fixed-size
+# chunks that are SEPARATE jit outputs: the host fetches the tiny
+# summary, then only the payload chunks containing a mixed block.
+# Every fetch is a plain D2H copy of an already-computed buffer — no
+# device program runs at fetch time, so the multi-volume pipeline
+# never stalls behind in-flight compute. (The reference downloads full
+# fp32 probability maps per tile — test.py:151-161.)
+VOX_PER_BLOCK = 10240  # divisible by 5 -> 2048 payload bytes per block
+BLOCKS_PER_CHUNK = 16  # 32 KiB per fetchable payload chunk
+
+
+def decode_trit_summary(summary: np.ndarray, fetch_chunk, n_voxels: int,
+                        shape) -> np.ndarray:
+    """Rebuild the trit volume from a block summary.
+
+    `fetch_chunk(i)` returns payload chunk i as a uint8 array (for
+    device outputs: `lambda i: np.asarray(chunks[i])`); it is called
+    only for chunks that contain at least one mixed block."""
+    s = np.asarray(summary, np.uint8)
+    mn, mx = s >> 2, s & 3
+    out = np.empty((s.size, VOX_PER_BLOCK), np.uint8)
+    const = mn == mx
+    out[const] = mn[const, None]
+    mixed = np.flatnonzero(~const)
+    bpb = VOX_PER_BLOCK // 5
+    for c in np.unique(mixed // BLOCKS_PER_CHUNK):
+        data = np.asarray(fetch_chunk(int(c)), np.uint8).reshape(-1, bpb)
+        sel = mixed[(mixed // BLOCKS_PER_CHUNK) == c]
+        local = sel - int(c) * BLOCKS_PER_CHUNK
+        out[sel] = unpack_trits(
+            data[local], len(sel) * VOX_PER_BLOCK, (len(sel), VOX_PER_BLOCK)
+        )
+    return out.reshape(-1)[:n_voxels].reshape(shape)
+
+
 def trits_to_scores(trits: np.ndarray, h_thresh: float, l_thresh: float) -> np.ndarray:
     """Synthesize a score volume with the same DTI behavior as the
     original: seeds -> h, band -> l, rest -> 0."""
@@ -130,6 +170,9 @@ class SlidingWindowRunner:
             self.fast_params = self._prepare(params)
         self._finalize_prob = jax.jit(lambda p, inv: p * inv)
         self._finalize_trits = jax.jit(self._trit_pack, static_argnums=(2, 3))
+        self._finalize_summary = jax.jit(
+            self._trit_summary, static_argnums=(2, 3)
+        )
         # whole-volume programs, cached per (padded_shape, n_batches):
         # one device dispatch per volume instead of one per tile batch
         # (each dispatch costs ~50 ms over tunneled hosts)
@@ -200,6 +243,38 @@ class SlidingWindowRunner:
             return jax.lax.fori_loop(0, batch, body, pred)
 
         return step
+
+    @staticmethod
+    def _trit_summary(pred, inv_cnt, h_thresh: float, l_thresh: float):
+        """Block-constant codec: per-block (min<<2 | max) summary byte
+        plus the base-3 payload split into BLOCKS_PER_CHUNK-block
+        chunks, each its own output buffer (see decode_trit_summary)."""
+        avg = pred * inv_cnt
+        trit = (
+            (avg >= l_thresh).astype(jnp.uint8)
+            + (avg >= h_thresh).astype(jnp.uint8)
+        ).reshape(-1)
+        pad = (-trit.shape[0]) % VOX_PER_BLOCK
+        if pad:
+            trit = jnp.concatenate([trit, jnp.zeros(pad, jnp.uint8)])
+        tb = trit.reshape(-1, VOX_PER_BLOCK)
+        summary = (tb.min(axis=1) * 4 + tb.max(axis=1)).astype(jnp.uint8)
+        t5 = tb.reshape(tb.shape[0], VOX_PER_BLOCK // 5, 5)
+        payload = (t5[..., 0] + 3 * t5[..., 1] + 9 * t5[..., 2]
+                   + 27 * t5[..., 3] + 81 * t5[..., 4])
+        cpad = (-tb.shape[0]) % BLOCKS_PER_CHUNK
+        if cpad:
+            # padded blocks summarize as constant-0: never fetched on
+            # their own, decode to background if a neighbor drags the
+            # chunk in, and fall off the n_voxels slice either way
+            payload = jnp.concatenate(
+                [payload, jnp.zeros((cpad, VOX_PER_BLOCK // 5), jnp.uint8)])
+            summary = jnp.concatenate([summary, jnp.zeros(cpad, jnp.uint8)])
+        chunks = tuple(
+            payload[i:i + BLOCKS_PER_CHUNK].reshape(-1)
+            for i in range(0, payload.shape[0], BLOCKS_PER_CHUNK)
+        )
+        return summary, chunks
 
     @staticmethod
     def _trit_pack(pred, inv_cnt, h_thresh: float, l_thresh: float):
@@ -314,17 +389,38 @@ class SlidingWindowRunner:
         )
         return packed, padded_shape, orig
 
+    def predict_trits_summary_device(
+        self, hu_volume: np.ndarray, *, h_thresh: float = 0.5,
+        l_thresh: float = 0.4, rng=None, hu_shift: float = 0.0,
+    ):
+        """Dispatch the whole-volume program emitting the block-
+        constant codec: returns (summary, payload_chunks, padded_shape,
+        orig_shape), all device-resident. Fetch the summary, then only
+        the chunks `decode_trit_summary` asks for — on airway fields
+        that is a few hundred KB instead of the full payload."""
+        pred, inv_cnt, padded_shape, orig = self._run(hu_volume, rng, hu_shift)
+        summary, chunks = self._finalize_summary(
+            pred, inv_cnt, float(h_thresh), float(l_thresh)
+        )
+        return summary, chunks, padded_shape, orig
+
     def predict_trits(
         self, hu_volume: np.ndarray, *, h_thresh: float = 0.5,
         l_thresh: float = 0.4, rng=None, hu_shift: float = 0.0,
     ) -> np.ndarray:
         """HU volume -> uint8 trit volume (0 below / 1 band / 2 seed),
-        thresholded and packed on device (20x smaller download)."""
-        packed, padded_shape, orig = self.predict_trits_device(
-            hu_volume, h_thresh=h_thresh, l_thresh=l_thresh, rng=rng,
-            hu_shift=hu_shift,
+        thresholded and packed on device via the block-constant codec
+        (bytes-per-boundary-block download instead of bytes-per-voxel)."""
+        summary, chunks, padded_shape, orig = (
+            self.predict_trits_summary_device(
+                hu_volume, h_thresh=h_thresh, l_thresh=l_thresh, rng=rng,
+                hu_shift=hu_shift,
+            )
         )
         n = int(np.prod(padded_shape))
-        trits = unpack_trits(np.asarray(packed), n, padded_shape)
+        trits = decode_trit_summary(
+            np.asarray(summary), lambda i: np.asarray(chunks[i]), n,
+            padded_shape,
+        )
         d, h, w = orig
         return trits[:d, :h, :w]

@@ -103,3 +103,65 @@ def test_trit_pack_roundtrip_and_density():
     trits = unpack_trits(packed, n, shape)
     ref = (avg >= 0.3).astype(np.uint8) + (avg >= 0.6).astype(np.uint8)
     np.testing.assert_array_equal(trits, ref)
+
+
+def test_trit_summary_roundtrip_fetches_only_mixed_chunks():
+    """Block-constant codec: decode reproduces the trit field exactly
+    while fetching payload chunks only where a block is mixed."""
+    from se_unet_airseg_tpu.infer.sliding_window import (
+        BLOCKS_PER_CHUNK,
+        VOX_PER_BLOCK,
+        decode_trit_summary,
+    )
+
+    r = np.random.default_rng(7)
+    # 40 blocks + a ragged tail: constant-0 background, one constant-2
+    # slab, and two mixed regions straddling block boundaries
+    n = 40 * VOX_PER_BLOCK + 1234
+    avg = np.zeros(n, np.float32)
+    avg[5 * VOX_PER_BLOCK : 9 * VOX_PER_BLOCK] = 0.9            # const 2
+    mix = slice(12 * VOX_PER_BLOCK + 100, 13 * VOX_PER_BLOCK + 50)
+    avg[mix] = r.random(mix.stop - mix.start)                   # mixed
+    avg[-200:] = 0.5                                            # tail mixed
+    shape = (n,)
+    summary, chunks = SlidingWindowRunner._trit_summary(
+        jnp.asarray(avg), jnp.float32(1.0), 0.6, 0.3
+    )
+    fetch_log = []
+
+    def fetch(i):
+        fetch_log.append(i)
+        return np.asarray(chunks[i])
+
+    got = decode_trit_summary(np.asarray(summary), fetch, n, shape)
+    ref = (avg >= 0.3).astype(np.uint8) + (avg >= 0.6).astype(np.uint8)
+    np.testing.assert_array_equal(got, ref)
+
+    s = np.asarray(summary)
+    mixed_blocks = np.flatnonzero((s >> 2) != (s & 3))
+    assert sorted(fetch_log) == sorted(
+        np.unique(mixed_blocks // BLOCKS_PER_CHUNK).tolist()
+    )
+    # the two engineered mixed regions -> far fewer chunks than total
+    assert len(fetch_log) < len(chunks)
+
+
+def test_predict_trits_summary_matches_packed_path():
+    """Engine-level: the block-constant codec download reconstructs
+    the SAME trit volume as the dense base-3 path."""
+    from se_unet_airseg_tpu.infer.sliding_window import unpack_trits
+
+    cube, step = 32, 16
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(2), cfg)
+    vol = (np.random.default_rng(9).random((48, 40, 33)) * 1400.0
+           - 1000.0).astype(np.float32)
+    runner = SlidingWindowRunner(params, cfg, cube=cube, step=step, batch=2)
+    got = runner.predict_trits(vol, h_thresh=0.5, l_thresh=0.35)
+    packed, padded_shape, orig = runner.predict_trits_device(
+        vol, h_thresh=0.5, l_thresh=0.35
+    )
+    ref = unpack_trits(
+        np.asarray(packed), int(np.prod(padded_shape)), padded_shape
+    )[: orig[0], : orig[1], : orig[2]]
+    np.testing.assert_array_equal(got, ref)
