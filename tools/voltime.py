@@ -31,9 +31,10 @@ def main():
     params = init_params(jax.random.key(0), cfg)
     r = SlidingWindowRunner(params, cfg, batch=batch)
     shape = (320, 256, 320)
-    vol = jnp.asarray(
-        (np.random.default_rng(0).random(shape) * 1400 + 24).astype(np.int16)
+    vol_np = (np.random.default_rng(0).random(shape) * 1400 + 24).astype(
+        np.int16
     )
+    vol = jnp.asarray(vol_np)
     pos_np = pad_positions_to_batch(tile_positions(shape), batch)
     pos = jnp.asarray(pos_np)
     n_b = len(pos_np) // batch
@@ -57,6 +58,15 @@ def main():
     t = min(times)
     n = len(pos_np)
     print(f"volume: {t:.3f} s, {n} tiles, {n / t:.2f} tiles/s (batch={batch})")
+
+    # warm the block-constant codec finalize too, so a bench.py run on
+    # this config is 100% cache hits (same volume program + finalize)
+    summary, chunks, _, _ = r.predict_trits_summary_device(
+        vol_np, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0
+    )
+    s = np.asarray(summary)
+    mixed = int(np.count_nonzero((s >> 2) != (s & 3)))
+    print(f"codec: {s.size} blocks, {mixed} mixed, {len(chunks)} chunks")
 
 
 if __name__ == "__main__":
