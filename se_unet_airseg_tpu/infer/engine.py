@@ -42,18 +42,49 @@ def _load_case(data_root: str, name: str):
     return img, label.array.astype(np.uint8)
 
 
-def _binarize(runner, stored, dti_on: bool, h: float, l: float, rng=None):
-    """`stored` is the on-disk int16 HU+1024 volume; the -1024 shift
-    happens on device (half-size uploads)."""
-    if dti_on:
+def _dispatch_binarize(runner, stored, dti_on: bool, h: float, l: float,
+                       rng=None):
+    """Enqueue the device side of `_binarize` WITHOUT fetching.
+    `stored` is the on-disk int16 HU+1024 volume; the -1024 shift
+    happens on device (half-size uploads). Dispatch is asynchronous,
+    so the caller can run the PREVIOUS case's host post-processing
+    (codec decode, DTI, CC, metrics) while this case computes on
+    device. Falls back to the eager path for runners without the
+    codec API (test stubs)."""
+    ph, pl = (h, l) if dti_on else (0.5, 0.5)
+    if not hasattr(runner, "predict_trits_summary_device"):
         trits = runner.predict_trits(
-            stored, h_thresh=h, l_thresh=l, rng=rng, hu_shift=-1024.0
+            stored, h_thresh=ph, l_thresh=pl, rng=rng, hu_shift=-1024.0
         )
-        return dti_fn(trits_to_scores(trits, h, l), h, l)
-    trits = runner.predict_trits(
-        stored, h_thresh=0.5, l_thresh=0.5, rng=rng, hu_shift=-1024.0
+        return (dti_on, h, l, None, trits)
+    out = runner.predict_trits_summary_device(
+        stored, h_thresh=ph, l_thresh=pl, rng=rng, hu_shift=-1024.0
     )
+    return (dti_on, h, l, out, None)
+
+
+def _finish_binarize(handle) -> np.ndarray:
+    """Fetch + decode + threshold/DTI the host side of a
+    `_dispatch_binarize` handle."""
+    dti_on, h, l, out, trits = handle
+    if trits is None:
+        from .sliding_window import decode_trit_summary
+
+        summary, chunks, padded_shape, orig = out
+        n = int(np.prod(padded_shape))
+        trits = decode_trit_summary(
+            np.asarray(summary), lambda i: np.asarray(chunks[i]), n,
+            padded_shape,
+        )[: orig[0], : orig[1], : orig[2]]
+    if dti_on:
+        return dti_fn(trits_to_scores(trits, h, l), h, l)
     return (trits == 2).astype(np.uint8)
+
+
+def _binarize(runner, stored, dti_on: bool, h: float, l: float, rng=None):
+    return _finish_binarize(
+        _dispatch_binarize(runner, stored, dti_on, h, l, rng=rng)
+    )
 
 
 def evaluation_case(pred, label, name, file_root, suffix=""):
@@ -114,10 +145,9 @@ def validate(
         # not correlated, dropout realizations
         rng = jax.random.fold_in(jax.random.key(0), epoch)
     metrics, rand_dice, hard_dice = [], [], []
-    for i, name in enumerate(names):
-        img, label = _load_case(data_root, name)
-        case_rng = jax.random.fold_in(rng, i)
-        pred = _binarize(runner, img.array, dti, 0.5, 0.4, rng=case_rng)
+
+    def finish(name, label, handle):
+        pred = _finish_binarize(handle)
         if stage != 1:
             p1 = read_nifti(os.path.join(file_root, "pred_1", name + ".nii.gz")).array
             if p1.ndim > 3:
@@ -127,6 +157,21 @@ def validate(
             rand_dice.append(2 * (pred * label).sum() / max((pred + label).sum(), 1))
             hard_dice.append(2 * (hp * hl).sum() / max((hp + hl).sum(), 1))
         metrics.append(evaluation_case(pred, label, name, file_root, "_val"))
+
+    # dispatch-ahead depth 1: case i's host post-processing (codec
+    # decode, DTI, CC, metric suite) runs while case i+1 computes on
+    # device (VERDICT r2 item 2)
+    pending = None
+    for i, name in enumerate(names):
+        img, label = _load_case(data_root, name)
+        case_rng = jax.random.fold_in(rng, i)
+        handle = _dispatch_binarize(runner, img.array, dti, 0.5, 0.4,
+                                    rng=case_rng)
+        if pending is not None:
+            finish(*pending)
+        pending = (name, label, handle)
+    if pending is not None:
+        finish(*pending)
     line = append_epoch(log_savepath, epoch, metrics)
     print(line)
     td = float(np.mean([m["TD"] for m in metrics]))
@@ -174,17 +219,28 @@ def run_test(
     # fill-holes (reference util.py:58-75, used at test.py:165-176)
     from ..pipeline.preprocess import largest_cc_midslice_fallback as maximum_3d
 
-    for i, name in enumerate(names):
-        img, label = _load_case(data_root, name)
-        pred = _binarize(runner, img.array, dti, 0.5, 0.35, rng=jax.random.fold_in(rng, i))
+    def finish(name, img, label, handle):
+        pred = _finish_binarize(handle)
         pred = border_suppress(pred)
         pred = maximum_3d(pred)
         write_nifti(
             os.path.join(outdir, name + ".nii.gz"),
             pred.astype(np.int8), img.spacing, img.origin, img.direction,
         )
-        m = evaluation_case(pred, label, name, file_root, "_test")
-        metrics.append(m)
+        metrics.append(evaluation_case(pred, label, name, file_root, "_test"))
+
+    # dispatch-ahead depth 1 (see validate): host post of case i
+    # overlaps case i+1's device compute
+    pending = None
+    for i, name in enumerate(names):
+        img, label = _load_case(data_root, name)
+        handle = _dispatch_binarize(runner, img.array, dti, 0.5, 0.35,
+                                    rng=jax.random.fold_in(rng, i))
+        if pending is not None:
+            finish(*pending)
+        pending = (name, img, label, handle)
+    if pending is not None:
+        finish(*pending)
 
     keys = ("TD", "BD", "DSC", "Pre", "Sen", "Spe")
     stats = []

@@ -67,6 +67,19 @@ def main():
     s = np.asarray(summary)
     mixed = int(np.count_nonzero((s >> 2) != (s & 3)))
     print(f"codec: {s.size} blocks, {mixed} mixed, {len(chunks)} chunks")
+    # cross-config parity evidence: the trit field checksum must match
+    # between model-graph variants (same params, same volume) up to
+    # bf16 accumulation-order noise at the two thresholds
+    from hashlib import sha256
+
+    from se_unet_airseg_tpu.infer.sliding_window import decode_trit_summary
+
+    trits = decode_trit_summary(
+        s, lambda i: np.asarray(chunks[i]), int(np.prod(shape)), shape
+    )
+    counts = np.bincount(trits.ravel(), minlength=3)
+    print(f"trits: counts={counts.tolist()} "
+          f"sha={sha256(trits.tobytes()).hexdigest()[:16]}")
 
 
 if __name__ == "__main__":
