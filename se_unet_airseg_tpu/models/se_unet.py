@@ -432,6 +432,12 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
             # XLA; ALL blocks use it in the fused bm Pallas kernel
             "wdense": dil2_dense_weight(w, dt),
             "bg": jnp.tile(p[name]["conv"]["b"], 8),
+            # raw dense kernel + per-gate (Co,1) SE kernels for the
+            # polyphase-batch route (mode "pp")
+            "w_pp": w,
+            "b_pp": p[name]["conv"]["b"],
+            **{f"se{g}_w": p[name][f"se{g}"]["w"][0, 0, 0]
+               for g in range(gates)},
             **se_entries(name, gates),
         }
         if w.shape[3] > 16:
@@ -539,6 +545,26 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         to_polyphase,
     )
 
+    if mode == "pp" and not bm:
+        # polyphase-batch route: phases ride the batch axis so the
+        # conv is dense (K=27*Ci on the MXU, no 8x phase
+        # block-diagonal / group lane padding) — see
+        # ops.s2d.dil2_polyphase_block
+        from ..ops.s2d import dil2_polyphase_block
+
+        if pre is not None and "w_pp" in pre:
+            w_pp, b_pp = pre["w_pp"], pre["b_pp"]
+            wses = [pre[f"se{g}_w"] for g in range(n_gates)]
+        else:
+            w_pp = p["conv"]["w"].astype(x.dtype)
+            b_pp = p["conv"]["b"].astype(x.dtype)
+            wses = [p[f"se{g}"]["w"][0, 0, 0].astype(x.dtype)
+                    for g in range(n_gates)]
+        e = dil2_polyphase_block(x, w_pp, b_pp, wses)
+        if not want_side:
+            return e, None
+        side = grouped_pointwise(e, p["side"]["w"][0, 0, 0], p["side"]["b"])
+        return e, side
     if use_pallas and not bm:
         from ..ops.pallas_s2d import dil2_conv_stats
 
@@ -915,6 +941,12 @@ def apply_fast(
         ec12p = os.environ.get("FASTPATH_EC12_PHASED", "0") == "1"
     else:
         ec12p = bool(cfg.ec12_phased)
+    # per-block dil-2 formulation: DIL2_MODE overrides cfg.dil2_mode
+    # globally, DIL2_MODE_EC{3,5,6} per block ("grouped" | "polyphase"
+    # | "pp"; pp = polyphase-batch, not available under bm)
+    _d2m = os.environ.get("DIL2_MODE", cfg.dil2_mode)
+    d2m = {k: os.environ.get(f"DIL2_MODE_{k.upper()}", _d2m)
+           for k in ("ec3", "ec5", "ec6")}
     s2d_l = space_to_depth_bm if bm else space_to_depth
     up_s2d = upsample_to_s2d_bm if bm else upsample_to_s2d
 
@@ -981,7 +1013,7 @@ def apply_fast(
                                use_epi=epi, bm=bm)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
                                   use_pallas=upl_dil2, pre=fp["ec3"],
-                                  mode=cfg.dil2_mode, use_epi=epi, bm=bm)
+                                  mode=d2m["ec3"], use_epi=epi, bm=bm)
     f0, f1, f2 = e0, e1, e1_1  # head features
     e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], pre=fp["ec33"],
                         use_epi=epi, bm=bm)
@@ -997,10 +1029,10 @@ def apply_fast(
                                    use_epi=epi, bm=bm)
     e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2,
                                  use_pallas=upl_dil2, pre=fp["ec5"],
-                                 mode=cfg.dil2_mode, use_epi=epi, bm=bm)
+                                 mode=d2m["ec5"], use_epi=epi, bm=bm)
     e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2,
                                    use_pallas=upl_dil2, pre=fp["ec6"],
-                                   mode=cfg.dil2_mode, use_epi=epi, bm=bm)
+                                   mode=d2m["ec6"], use_epi=epi, bm=bm)
     f3, f4, f5 = e2s, e3s, e3_1s
     e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], pre=fp["ec63"],
                          use_epi=epi, bm=bm)

@@ -584,6 +584,56 @@ def conv3_s2d_phased_fused_bm(x, w_all: jnp.ndarray,
     return jnp.concatenate(acts, axis=-1)
 
 
+def dil2_polyphase_block(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                         wses, eps: float = 1e-5) -> jnp.ndarray:
+    """Full dil-2 SSE block computed in POLYPHASE-BATCH layout:
+    to_polyphase -> dense 3^3 dil-1 conv -> InstanceNorm (statistics
+    regrouped over the 8 phase batch-entries) -> LeakyReLU -> SE
+    gate(s) -> from_polyphase. Input/output are s2d (B, n, n, n, 8C).
+
+    Why: with phases on the batch axis the dil-2 conv is a plain dense
+    conv — K = 27*Ci im2col depth on the MXU, no 8x phase
+    block-diagonal (block-diag dense) and no 8x per-group lane padding
+    (grouped emitter). The only waste left is the N=Co<128 lane
+    padding (2-4x), a 2-4x issued-FLOP reduction over both s2d
+    formulations; the polyphase transposes are ~0.1-1 ms and adjacent
+    blocks' from/to_polyphase pairs cancel under CSE. Matches
+    reference SE_UNet.py SSEConv (dil=2) semantics exactly; numerics
+    equal the grouped path up to conv accumulation order.
+
+    `wses` is the list of raw (Co, 1) SE kernels (reference layout,
+    no bias); the per-voxel spatial gate is layout-invariant — a
+    polyphase voxel IS one original voxel."""
+    import jax
+
+    from .conv import conv3d
+    from .norms import leaky_relu
+
+    bsz = x.shape[0]
+    xp = to_polyphase(x)
+    y = conv3d(xp, w, b, padding=1)
+    co = y.shape[-1]
+    nvox = 8 * y.shape[1] * y.shape[2] * y.shape[3]
+    # one-pass f32 stats (see instance_norm_s2d for why), summed over
+    # space per phase-entry then over the 8 phases of each volume
+    s1 = jnp.sum(y, axis=(1, 2, 3), dtype=jnp.float32)  # (8B, co)
+    s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(1, 2, 3))
+    mean = s1.reshape(bsz, 8, co).sum(axis=1) / nvox  # (B, co)
+    ex2 = s2.reshape(bsz, 8, co).sum(axis=1) / nvox
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.repeat(scale, 8, axis=0)[:, None, None, None, :]
+    shift8 = jnp.repeat(mean * scale, 8, axis=0)[:, None, None, None, :]
+    e = (y.astype(jnp.float32) * scale8 - shift8).astype(y.dtype)
+    e = leaky_relu(e)
+    for w_se in wses:
+        gate = jax.nn.sigmoid(
+            jnp.einsum("...i,io->...o", e, w_se, precision=HP)
+        )
+        e = e * gate
+    return from_polyphase(e)
+
+
 def to_polyphase(x: jnp.ndarray) -> jnp.ndarray:
     """s2d (B, n, n, n, 8C) -> (B*8, n, n, n, C): sub-positions become
     batch entries (for dilation-2 polyphase convs)."""

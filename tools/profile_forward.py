@@ -66,13 +66,22 @@ def parse_xplane(logdir, iters=3, top=40):
             for ev in line.events:
                 name = meta.get(ev.metadata_id, "?")
                 per_op[name] += ev.duration_ps
+    # async copy-start/done spans cover the compute they overlap —
+    # summing them double-counts; report them separately, not in the
+    # busy total or the ranking
+    async_ps = sum(ps for n, ps in per_op.items()
+                   if "copy-start" in n or "copy-done" in n)
+    for name in list(per_op):
+        if "copy-start" in name or "copy-done" in name:
+            del per_op[name]
     for name, ps in per_op.items():
         cat = categorize(name)
         per_cat[cat] += ps
 
     total = sum(per_op.values())
-    print(f"\n== total device time: {total/1e12/iters*1e3:.2f} ms/iter "
-          f"({iters} iters traced) ==")
+    print(f"\n== device busy (sync ops): {total/1e12/iters*1e3:.2f} ms/iter;"
+          f" async copy spans (overlapped): {async_ps/1e12/iters*1e3:.2f}"
+          f" ms/iter ({iters} iters traced) ==")
     print("\n-- by category --")
     for cat, ps in per_cat.most_common():
         print(f"  {cat:28s} {ps/1e12/iters*1e3:8.2f} ms  {100*ps/total:5.1f}%")
@@ -117,6 +126,9 @@ def main():
 
     from se_unet_airseg_tpu.models import SEUNetConfig, init_params
     from se_unet_airseg_tpu.models.se_unet import apply_fast
+    from se_unet_airseg_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = SEUNetConfig(compute_dtype=jnp.bfloat16)
     params = init_params(jax.random.key(0), cfg)
@@ -140,14 +152,23 @@ def main():
               f"({B/wall:.1f} tiles/s)")
     elif what == "engine":
         from se_unet_airseg_tpu.infer import SlidingWindowRunner
+        from se_unet_airseg_tpu.infer.sliding_window import BLOCKS_PER_CHUNK
 
         runner = SlidingWindowRunner(params, cfg, batch=8)
         vol = (np.random.default_rng(0).random((320, 256, 320)) * 1400.0
                + 24.0).astype(np.int16)
 
         def run():
-            return runner.predict_trits(vol, h_thresh=0.5, l_thresh=0.35,
-                                        hu_shift=-1024.0)
+            # the bench's production dispatch+fetch (block-constant
+            # trit codec; host pulls summary + mixed-block chunks)
+            summary, chunks, padded_shape, _ = (
+                runner.predict_trits_summary_device(
+                    vol, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0))
+            s = np.asarray(summary)
+            mixed = np.flatnonzero((s >> 2) != (s & 3))
+            for c in np.unique(mixed // BLOCKS_PER_CHUNK):
+                np.asarray(chunks[int(c)])
+            return summary
 
         wall = _trace(run, logdir, iters)
         from se_unet_airseg_tpu.data import pad_positions_to_batch, tile_positions
