@@ -504,9 +504,9 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
         bb = bias_to_s2d(p["conv"]["b"])
     e = conv3d(x, wb, bb, padding=1, batch_minor=bm)
     if use_epi and pre is not None and "epi_wgs" in pre:
-        from ..ops.pallas_s2d import gated_norm_block, gated_norm_block_bm
+        from ..ops.pallas_s2d import pick_gated_norm_block
 
-        epi_fn = gated_norm_block_bm if bm else gated_norm_block
+        epi_fn = pick_gated_norm_block(bm)
         e = epi_fn(e, pre["epi_wgs"], pre["epi_oh"])
     else:
         from ..ops.s2d import instance_norm_s2d_bm
@@ -604,9 +604,9 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                 bg = jnp.tile(p["conv"]["b"], 8)
             y = conv3d(x, wg, bg, padding=1, groups=8, batch_minor=bm)
         if use_epi and pre is not None and "epi_wgs" in pre:
-            from ..ops.pallas_s2d import gated_norm_block, gated_norm_block_bm
+            from ..ops.pallas_s2d import pick_gated_norm_block
 
-            epi_fn = gated_norm_block_bm if bm else gated_norm_block
+            epi_fn = pick_gated_norm_block(bm)
             e = epi_fn(y, pre["epi_wgs"], pre["epi_oh"])
             if not want_side:
                 return e, None
@@ -658,9 +658,9 @@ def _cat_block_s2d(p: Params, x, pre=None, use_epi: bool = False,
     else:
         y = grouped_pointwise_multi(xs, p["conv"]["w"][0, 0, 0])
     if use_epi:
-        from ..ops.pallas_s2d import gated_norm_block, gated_norm_block_bm
+        from ..ops.pallas_s2d import pick_gated_norm_block
 
-        return (gated_norm_block_bm if bm else gated_norm_block)(y, None, None)
+        return pick_gated_norm_block(bm)(y, None, None)
     norm = instance_norm_s2d_bm if bm else instance_norm_s2d
     return leaky_relu(norm(y))
 
@@ -712,10 +712,10 @@ def _sse_block_s2d_phased(p: Params, x, want_side: bool = True,
             e = conv3_s2d_phased_fused_bm(xs, w_all, b_all)
             e = _se_chain(p, e, n_gates, pre)
     elif use_epi and pre is not None and "epi_wgs" in pre:
-        from ..ops.pallas_s2d import phased_gated_block
+        from ..ops.pallas_s2d import pick_phased_gated_block
 
         # conv on XLA, gather+IN+LReLU+SE as one fused Pallas pass
-        e = phased_gated_block(
+        e = pick_phased_gated_block()(
             tuple(xs), w_all, b_all, pre["epi_wgs"], pre["epi_oh"]
         )
     elif use_pallas:
@@ -1091,9 +1091,17 @@ def apply_fast(
                          use_epi=epi, bm=bm)
 
     # ---- decoder level 1 (full res, all in s2d) ----
-    d1f = depth_to_space_bm(d1s) if bm else depth_to_space(d1s)
-    m = d1f.shape[0 if bm else 1]
-    up_s = up_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
+    if not bm and os.environ.get("UP_FOLD_D2S", "0") == "1":
+        # fused depth_to_space + upsample (slab form): the d2s 8-D
+        # shuffle never materializes
+        from ..ops.s2d import upsample_s2d_to_s2d_slabs
+
+        m2 = 2 * d1s.shape[1]
+        up_s = upsample_s2d_to_s2d_slabs(d1s, pair=interp.get((m2, 2 * m2)))
+    else:
+        d1f = depth_to_space_bm(d1s) if bm else depth_to_space(d1s)
+        m = d1f.shape[0 if bm else 1]
+        up_s = up_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
     d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False,
                                   use_pallas=upl, pre=fp["dc5"],
                                   use_epi=epi, bm=bm)

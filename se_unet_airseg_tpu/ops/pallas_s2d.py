@@ -1155,6 +1155,111 @@ def _pgbm_bwd(res, ct):
 phased_gated_block_bm.defvjp(_pgbm_fwd, _pgbm_bwd)
 
 
+# --------- transposed-batch-minor ("tbm") epilogue wrappers ----------
+# The TPU conv emitter's preferred physical layout for an s2d tensor
+# (B, d, h, w, C8) is {4,0,3,2,1} — byte-identical to the transposed
+# (d, h, w, B, C8) tensor in default layout. The plain s2d Pallas
+# epilogues force default {4,3,2,1,0} operands/results, so XLA inserts
+# full-tensor relayout copies around every call (profiled: ~1.1 s of
+# the 1.59 s whole-volume program was relayout copy / copy-done wait).
+# These wrappers keep the conv on the fast s2d emitter and hand the
+# BATCH-MINOR kernels a jnp.transpose of its output, which layout
+# assignment lowers to a bitcast — same kernels, zero relayouts.
+
+
+def tbm_enabled() -> bool:
+    return os.environ.get("EPI_TBM", "1") == "1"
+
+
+def gated_norm_block_tbm(y, wgs, oh):
+    """s2d-interface gathered epilogue routed through the batch-minor
+    kernel via transposes (see block comment above)."""
+    if y.shape[-1] % 128 or y.shape[0] % 8:
+        return gated_norm_block(y, wgs, oh)  # bm kernel can't run
+    e = gated_norm_block_bm(jnp.transpose(y, (1, 2, 3, 0, 4)), wgs, oh)
+    return jnp.transpose(e, (3, 0, 1, 2, 4))
+
+
+def _pallas_gated_forward_tbm(xs, w_all, b_all, wgs, oh, eps=1e-5):
+    """Phased block: conv (list partial sums) on the fast s2d emitter,
+    then phase-slice stats + streamed finalize in batch-minor view."""
+    from itertools import product as _product
+
+    from .conv import conv3d
+
+    xs = list(xs)
+    # bm kernels slice sublane-dim blocks: need the batch (sublane
+    # under the transposed view) 8-aligned — B=2 entry shapes trip
+    # Mosaic's (2,1) bf16 tiling otherwise
+    if xs[0].shape[0] % 8 or (w_all.shape[-1] % 128):
+        return _pallas_gated_forward(tuple(xs), w_all, b_all, wgs, oh)
+    co = w_all.shape[-1] // 8
+    n = xs[0].shape[1]
+    y = None
+    off = 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if y is None else None, padding=1)
+        y = yt if y is None else y + yt
+        off += k
+    # (B, n+1, n+1, n+1, 8co) -> bm view; bitcast under {4,0,3,2,1}
+    y_bm = jnp.transpose(y, (1, 2, 3, 0, 4))
+    f32 = jnp.float32
+    slices, s1, s2 = [], 0.0, 0.0
+    for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
+        sl = y_bm[a : a + n, bb : bb + n, c : c + n, :,
+                  q * co : (q + 1) * co]
+        slices.append(sl)
+        s1 = s1 + jnp.sum(sl, axis=(0, 1, 2), dtype=f32)
+        s2 = s2 + jnp.sum(jnp.square(sl.astype(f32)), axis=(0, 1, 2))
+    nvox = 8 * n * n * n
+    mean = s1 / nvox  # (B, Co) per ORIGINAL channel (phases share)
+    var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    scale8 = jnp.tile(scale, (1, 8))
+    shift8 = jnp.tile(mean * scale, (1, 8))
+    out = phased_finalize_bm(y_bm, scale8, shift8, wgs, oh)
+    if out is None:
+        yg = jnp.concatenate(slices, axis=-1)
+        out = gated_norm_finalize_bm(yg, scale8, shift8, wgs, oh)
+    if out is None:
+        return _xla_gated_composition(tuple(xs), w_all, b_all, wgs, oh)
+    return jnp.transpose(out, (3, 0, 1, 2, 4))
+
+
+@jax.custom_vjp
+def phased_gated_block_tbm(xs, w_all, b_all, wgs, oh):
+    """Fused phased s2d block with the batch-minor epilogue behind
+    transposes; backward is the exact s2d XLA composition."""
+    return _pallas_gated_forward_tbm(xs, w_all, b_all, wgs, oh)
+
+
+def _pgtbm_fwd(xs, w_all, b_all, wgs, oh):
+    return (_pallas_gated_forward_tbm(xs, w_all, b_all, wgs, oh),
+            (xs, w_all, b_all, wgs, oh))
+
+
+def _pgtbm_bwd(res, ct):
+    xs, w_all, b_all, wgs, oh = res
+    _, vjp = jax.vjp(_xla_gated_composition, xs, w_all, b_all, wgs, oh)
+    return vjp(ct)
+
+
+phased_gated_block_tbm.defvjp(_pgtbm_fwd, _pgtbm_bwd)
+
+
+def pick_gated_norm_block(bm: bool):
+    if bm:
+        return gated_norm_block_bm
+    return gated_norm_block_tbm if tbm_enabled() else gated_norm_block
+
+
+def pick_phased_gated_block():
+    """Non-bm callers only (bm callers pass bm-layout xs)."""
+    return phased_gated_block_tbm if tbm_enabled() else phased_gated_block
+
+
 # ------------- batch-minor fused dilation-2 conv + stats -------------
 #
 # The dil-2 s2d blocks (ec3/ec5/ec6, reference SE_UNet.py:36-63 with

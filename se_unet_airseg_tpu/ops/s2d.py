@@ -209,6 +209,12 @@ def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
         md = jnp.asarray(_interp_pair(d, d * scale), ct)
         mh = jnp.asarray(_interp_pair(h, h * scale), ct)
         mw = jnp.asarray(_interp_pair(w, w * scale), ct)
+    import os
+
+    if c >= 8 and os.environ.get("UP_SLABS", "0") == "1":
+        # per-parity slab emission: no 8-D parity axes, no packing
+        # reshape — see upsample_to_s2d_slabs
+        return upsample_to_s2d_slabs(x, scale, pair=pair)
     y = x.astype(ct)
     # each contraction EMITS its parity axis directly in the final
     # (b, D, H, W, az, ey, fx, c) order, so the s2d regroup below is a
@@ -219,6 +225,102 @@ def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
     y = jnp.einsum("fWw,bDHwaec->bDHWaefc", mw, y, precision=HP)
     n = d * scale // 2
     return y.reshape(b, n, n, n, 8 * c).astype(dtype)
+
+
+def upsample_to_s2d_slabs(x: jnp.ndarray, scale: int, pair=None):
+    """`upsample_to_s2d` emitted as 8 per-parity slab chains + ONE
+    minor-axis concat.
+
+    The single-chain form (above) appends the three parity axes to the
+    tensor and reshape-packs them into channels at the end; on TPU that
+    reshape is a 32->256-lane relayout XLA materializes as two copies
+    (profiled ~11 ms/batch at the dc5 shape). Here every intermediate
+    keeps the plain (B, n, n, n, C) shape — each parity chain contracts
+    the SAME rows of the interpolation matrices in the same order, so
+    values are bit-identical — and the only layout change left is the
+    final p-major channel concat, which XLA writes directly into the
+    consumer's operand buffer."""
+    b, d, h, w, c = x.shape
+    dtype = x.dtype
+    ct = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    if pair is not None:
+        md = mh = mw = pair.astype(ct)
+    else:
+        md = jnp.asarray(_interp_pair(d, d * scale), ct)
+        mh = jnp.asarray(_interp_pair(h, h * scale), ct)
+        mw = jnp.asarray(_interp_pair(w, w * scale), ct)
+    y = x.astype(ct)
+    za = [jnp.einsum("Dd,bdhwc->bDhwc", md[a], y, precision=HP)
+          for a in range(2)]
+    zae = [jnp.einsum("Hh,bDhwc->bDHwc", mh[e], za[a], precision=HP)
+           for a in range(2) for e in range(2)]
+    slabs = [jnp.einsum("Ww,bDHwc->bDHWc", mw[f], zae[a * 2 + e],
+                        precision=HP)
+             for a in range(2) for e in range(2) for f in range(2)]
+    n = d * scale // 2
+    out = jnp.concatenate(slabs, axis=-1)
+    return out.astype(dtype).reshape(b, n, n, n, 8 * c)
+
+
+def upsample_s2d_to_s2d_slabs(xs2d: jnp.ndarray, pair=None):
+    """Fused depth_to_space + 2x upsample_to_s2d, slab form: input an
+    s2d tensor (B, m, m, m, 8C) on the m-grid (image 2m), output the
+    s2d tensor (B, 2m, 2m, 2m, 8C) of its 2x align-corners trilinear
+    upsample (image 4m).
+
+    Equivalent to upsample_to_s2d(depth_to_space(x), 2) with the
+    depth_to_space 8-D shuffle never materialized: each interpolation
+    matrix is column-split by input parity and contracted against the
+    input's phase slices directly."""
+    b, m, _, _, c8 = xs2d.shape
+    c = c8 // 8
+    dtype = xs2d.dtype
+    ct = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    d = 2 * m
+    if pair is not None:
+        md = mh = mw = pair.astype(ct)
+    else:
+        md = mh = mw = jnp.asarray(_interp_pair(d, 2 * d), ct)
+    # column-split by input parity: full-grid index d = 2Z + s
+    mds = [md[:, :, s::2] for s in range(2)]  # (2, 2m, m) each
+    y = xs2d.astype(ct)
+    # phase slices x[p] (b, m, m, m, c), p = sz*4 + sy*2 + sx
+    xp = [y[..., p * c:(p + 1) * c] for p in range(8)]
+    # contract Z: za[a][(sy,sx)] (b, 2m, m, m, c)
+    za = {}
+    for a in range(2):
+        for sy in range(2):
+            for sx in range(2):
+                acc = None
+                for sz in range(2):
+                    t = jnp.einsum("DZ,bZyxc->bDyxc", mds[sz][a],
+                                   xp[sz * 4 + sy * 2 + sx], precision=HP)
+                    acc = t if acc is None else acc + t
+                za[a, sy, sx] = acc
+    # contract Y: zae[a,e][sx] (b, 2m, 2m, m, c)
+    zae = {}
+    for a in range(2):
+        for e in range(2):
+            for sx in range(2):
+                acc = None
+                for sy in range(2):
+                    t = jnp.einsum("HY,bDYxc->bDHxc", mds[sy][e],
+                                   za[a, sy, sx], precision=HP)
+                    acc = t if acc is None else acc + t
+                zae[a, e, sx] = acc
+    # contract X: slabs (b, 2m, 2m, 2m, c)
+    slabs = []
+    for a in range(2):
+        for e in range(2):
+            for f in range(2):
+                acc = None
+                for sx in range(2):
+                    t = jnp.einsum("WX,bDHXc->bDHWc", mds[sx][f],
+                                   zae[a, e, sx], precision=HP)
+                    acc = t if acc is None else acc + t
+                slabs.append(acc)
+    out = jnp.concatenate(slabs, axis=-1)
+    return out.astype(dtype)
 
 
 @lru_cache(maxsize=None)

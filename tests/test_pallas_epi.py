@@ -402,3 +402,81 @@ def test_bm_phased_conv_kgrid_matches_xla():
         off += k
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_tbm_gated_norm_matches_batch_major():
+    """The transposed-batch-minor wrapper (s2d interface, bm kernel
+    behind bitcast transposes) equals the plain s2d kernel, on both
+    the eligible shape and the fallback shape (B not 8-aligned)."""
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        gated_norm_block,
+        gated_norm_block_tbm,
+    )
+
+    y, wgs, oh = _make_gathered_bm(21, 8, 16, 1)
+    y_bmaj = jnp.transpose(y, (3, 0, 1, 2, 4))  # (8, n, n, n, 128)
+    got = gated_norm_block_tbm(y_bmaj, wgs, oh)
+    ref = gated_norm_block(y_bmaj, wgs, oh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    got1 = gated_norm_block_tbm(y_bmaj[:1], wgs, oh)  # fallback path
+    ref1 = gated_norm_block(y_bmaj[:1], wgs, oh)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "n,cis,co,gates",
+    [
+        (8, (128,), 16, 1),
+        (8, (64, 64), 16, 2),
+    ],
+)
+def test_tbm_phased_epilogue_matches_xla(n, cis, co, gates):
+    """phased_gated_block_tbm (conv on the s2d emitter, bm epilogue
+    behind transposes) equals the XLA composition and the plain s2d
+    kernel, at B=8 (kernel) and B=2 (fallback)."""
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_gated_composition,
+        phased_gated_block,
+        phased_gated_block_tbm,
+    )
+
+    xs, w_all, b_all, wgs, oh = _make_block_bm(25, n, cis, co, gates)
+    xs_bmaj = tuple(jnp.transpose(t, (3, 0, 1, 2, 4)) for t in xs)
+    got = phased_gated_block_tbm(xs_bmaj, w_all, b_all, wgs, oh)
+    ref = _xla_gated_composition(xs_bmaj, w_all, b_all, wgs, oh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    ref2 = phased_gated_block(xs_bmaj, w_all, b_all, wgs, oh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref2),
+                               atol=2e-6, rtol=1e-5)
+    xs_b2 = tuple(t[:2] for t in xs_bmaj)  # fallback: B=2 not 8-aligned
+    got_b2 = phased_gated_block_tbm(xs_b2, w_all, b_all, wgs, oh)
+    ref_b2 = _xla_gated_composition(xs_b2, w_all, b_all, wgs, oh)
+    np.testing.assert_allclose(np.asarray(got_b2), np.asarray(ref_b2),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_tbm_phased_epilogue_grads_match():
+    from se_unet_airseg_tpu.ops.pallas_s2d import (
+        _xla_gated_composition,
+        phased_gated_block_tbm,
+    )
+
+    xs, w_all, b_all, wgs, oh = _make_block_bm(26, 8, (64, 64), 16, 1)
+    xs_bmaj = tuple(jnp.transpose(t, (3, 0, 1, 2, 4)) for t in xs)
+
+    def loss_p(a, b, w):
+        return jnp.sum(
+            phased_gated_block_tbm((a, b), w, b_all, wgs, oh) ** 2)
+
+    def loss_x(a, b, w):
+        return jnp.sum(
+            _xla_gated_composition((a, b), w, b_all, wgs, oh) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(*xs_bmaj, w_all)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(*xs_bmaj, w_all)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
