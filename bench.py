@@ -65,6 +65,7 @@ def bench_inference():
     from se_unet_airseg_tpu.infer import SlidingWindowRunner
     from se_unet_airseg_tpu.infer.sliding_window import (
         BLOCKS_PER_CHUNK,
+        FULL_FETCH_FRAC,
         decode_trit_summary,
         trits_to_scores,
     )
@@ -94,15 +95,19 @@ def bench_inference():
 
     def fetch(out):
         """Block until the volume is done and pull everything the trit
-        reconstruction needs: the per-block summary plus only the
-        payload chunks containing a mixed block (plain D2H copies of
-        computed buffers — no device program at fetch time)."""
-        summary, chunks, padded_shape, _ = out
+        reconstruction needs: the per-block summary plus the mixed
+        payload (per-chunk copies when sparse, one whole-payload copy
+        when dense — plain D2H copies of computed buffers either way,
+        no device program at fetch time)."""
+        summary, chunks, payload, padded_shape, _ = out
         s = np.asarray(summary)
         mixed = np.flatnonzero((s >> 2) != (s & 3))
+        need = np.unique(mixed // BLOCKS_PER_CHUNK)
+        if len(need) > FULL_FETCH_FRAC * len(chunks):
+            p = np.asarray(payload).reshape(len(chunks), -1)
+            return (s, {int(c): p[int(c)] for c in need}, padded_shape)
         return (s, {int(c): np.asarray(chunks[int(c)])
-                    for c in np.unique(mixed // BLOCKS_PER_CHUNK)},
-                padded_shape)
+                    for c in need}, padded_shape)
 
     # warmup: compile (served from .jax_cache when present) + one
     # volume so the timed stream is pure steady state

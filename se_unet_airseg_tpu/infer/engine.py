@@ -68,13 +68,13 @@ def _finish_binarize(handle) -> np.ndarray:
     `_dispatch_binarize` handle."""
     dti_on, h, l, out, trits = handle
     if trits is None:
-        from .sliding_window import decode_trit_summary
+        from .sliding_window import decode_trit_summary, make_chunk_fetcher
 
-        summary, chunks, padded_shape, orig = out
+        summary, chunks, payload, padded_shape, orig = out
         n = int(np.prod(padded_shape))
+        s = np.asarray(summary)
         trits = decode_trit_summary(
-            np.asarray(summary), lambda i: np.asarray(chunks[i]), n,
-            padded_shape,
+            s, make_chunk_fetcher(s, chunks, payload), n, padded_shape,
         )[: orig[0], : orig[1], : orig[2]]
     if dti_on:
         return dti_fn(trits_to_scores(trits, h, l), h, l)

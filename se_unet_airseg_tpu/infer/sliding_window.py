@@ -103,6 +103,32 @@ def decode_trit_summary(summary: np.ndarray, fetch_chunk, n_voxels: int,
     return out.reshape(-1)[:n_voxels].reshape(shape)
 
 
+# above this mixed-chunk fraction, fetch the whole payload in one D2H
+# copy instead of per-chunk copies: each copy costs a tunnel roundtrip
+# (~10-30 ms), so past a few dozen mixed chunks one large streamed
+# transfer (~33 MB/s measured) is strictly faster
+FULL_FETCH_FRAC = 0.25
+
+
+def make_chunk_fetcher(summary_np: np.ndarray, chunks, payload=None,
+                       frac: float = FULL_FETCH_FRAC):
+    """Build the `fetch_chunk` callback for `decode_trit_summary`.
+
+    Few mixed chunks (real airway fields: all-0 background) -> fetch
+    only those chunks, KBs total. Many mixed chunks -> ONE whole-
+    payload copy, sliced locally. Both routes are plain D2H copies of
+    already-computed buffers (no device program at fetch time)."""
+    if payload is not None:
+        s = np.asarray(summary_np, np.uint8)
+        mixed = np.flatnonzero((s >> 2) != (s & 3))
+        n_chunks = len(chunks)
+        if (n_chunks and
+                len(np.unique(mixed // BLOCKS_PER_CHUNK)) > frac * n_chunks):
+            p = np.asarray(payload).reshape(n_chunks, -1)
+            return lambda i: p[i]
+    return lambda i: np.asarray(chunks[i])
+
+
 def trits_to_scores(trits: np.ndarray, h_thresh: float, l_thresh: float) -> np.ndarray:
     """Synthesize a score volume with the same DTI behavior as the
     original: seeds -> h, band -> l, rest -> 0."""
@@ -274,7 +300,11 @@ class SlidingWindowRunner:
             payload[i:i + BLOCKS_PER_CHUNK].reshape(-1)
             for i in range(0, payload.shape[0], BLOCKS_PER_CHUNK)
         )
-        return summary, chunks
+        # the full payload as ONE extra output buffer: when most
+        # chunks are mixed, one big D2H copy beats hundreds of
+        # per-chunk roundtrips (the tunnel charges ~10-30 ms latency
+        # per copy but streams large transfers at full rate)
+        return summary, chunks, payload.reshape(-1)
 
     @staticmethod
     def _trit_pack(pred, inv_cnt, h_thresh: float, l_thresh: float):
@@ -394,15 +424,17 @@ class SlidingWindowRunner:
         l_thresh: float = 0.4, rng=None, hu_shift: float = 0.0,
     ):
         """Dispatch the whole-volume program emitting the block-
-        constant codec: returns (summary, payload_chunks, padded_shape,
-        orig_shape), all device-resident. Fetch the summary, then only
-        the chunks `decode_trit_summary` asks for — on airway fields
-        that is a few hundred KB instead of the full payload."""
+        constant codec: returns (summary, payload_chunks, payload,
+        padded_shape, orig_shape), all device-resident. Fetch the
+        summary, then either the mixed chunks or the one whole-payload
+        buffer — `make_chunk_fetcher` picks (on airway fields the
+        chunk route is a few hundred KB instead of the full payload;
+        on dense fields one payload copy beats per-chunk roundtrips)."""
         pred, inv_cnt, padded_shape, orig = self._run(hu_volume, rng, hu_shift)
-        summary, chunks = self._finalize_summary(
+        summary, chunks, payload = self._finalize_summary(
             pred, inv_cnt, float(h_thresh), float(l_thresh)
         )
-        return summary, chunks, padded_shape, orig
+        return summary, chunks, payload, padded_shape, orig
 
     def predict_trits(
         self, hu_volume: np.ndarray, *, h_thresh: float = 0.5,
@@ -411,16 +443,16 @@ class SlidingWindowRunner:
         """HU volume -> uint8 trit volume (0 below / 1 band / 2 seed),
         thresholded and packed on device via the block-constant codec
         (bytes-per-boundary-block download instead of bytes-per-voxel)."""
-        summary, chunks, padded_shape, orig = (
+        summary, chunks, payload, padded_shape, orig = (
             self.predict_trits_summary_device(
                 hu_volume, h_thresh=h_thresh, l_thresh=l_thresh, rng=rng,
                 hu_shift=hu_shift,
             )
         )
         n = int(np.prod(padded_shape))
+        s = np.asarray(summary)
         trits = decode_trit_summary(
-            np.asarray(summary), lambda i: np.asarray(chunks[i]), n,
-            padded_shape,
+            s, make_chunk_fetcher(s, chunks, payload), n, padded_shape,
         )
         d, h, w = orig
         return trits[:d, :h, :w]

@@ -124,7 +124,7 @@ def test_trit_summary_roundtrip_fetches_only_mixed_chunks():
     avg[mix] = r.random(mix.stop - mix.start)                   # mixed
     avg[-200:] = 0.5                                            # tail mixed
     shape = (n,)
-    summary, chunks = SlidingWindowRunner._trit_summary(
+    summary, chunks, payload = SlidingWindowRunner._trit_summary(
         jnp.asarray(avg), jnp.float32(1.0), 0.6, 0.3
     )
     fetch_log = []
@@ -144,6 +144,29 @@ def test_trit_summary_roundtrip_fetches_only_mixed_chunks():
     )
     # the two engineered mixed regions -> far fewer chunks than total
     assert len(fetch_log) < len(chunks)
+
+    # the whole-payload buffer agrees with the chunk split, and the
+    # adaptive fetcher picks the chunk route here (sparse mixed set)
+    # but the one-copy payload route on a dense field — both decoding
+    # to the same trit volume
+    from se_unet_airseg_tpu.infer.sliding_window import make_chunk_fetcher
+
+    np.testing.assert_array_equal(
+        np.asarray(payload),
+        np.concatenate([np.asarray(c) for c in chunks]),
+    )
+    got2 = decode_trit_summary(
+        s, make_chunk_fetcher(s, chunks, payload), n, shape)
+    np.testing.assert_array_equal(got2, ref)
+    dense = r.random(n).astype(np.float32)  # mixed nearly everywhere
+    s2, ch2, pay2 = SlidingWindowRunner._trit_summary(
+        jnp.asarray(dense), jnp.float32(1.0), 0.6, 0.3
+    )
+    s2 = np.asarray(s2)
+    fetcher = make_chunk_fetcher(s2, ch2, pay2)
+    got3 = decode_trit_summary(s2, fetcher, n, shape)
+    ref3 = (dense >= 0.3).astype(np.uint8) + (dense >= 0.6).astype(np.uint8)
+    np.testing.assert_array_equal(got3, ref3)
 
 
 def test_predict_trits_summary_matches_packed_path():

@@ -161,13 +161,17 @@ def main():
         def run():
             # the bench's production dispatch+fetch (block-constant
             # trit codec; host pulls summary + mixed-block chunks)
-            summary, chunks, padded_shape, _ = (
+            summary, chunks, payload, padded_shape, _ = (
                 runner.predict_trits_summary_device(
                     vol, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0))
             s = np.asarray(summary)
             mixed = np.flatnonzero((s >> 2) != (s & 3))
-            for c in np.unique(mixed // BLOCKS_PER_CHUNK):
-                np.asarray(chunks[int(c)])
+            need = np.unique(mixed // BLOCKS_PER_CHUNK)
+            if len(need) > 0.25 * len(chunks):
+                np.asarray(payload)
+            else:
+                for c in need:
+                    np.asarray(chunks[int(c)])
             return summary
 
         wall = _trace(run, logdir, iters)

@@ -61,7 +61,7 @@ def main():
 
     # warm the block-constant codec finalize too, so a bench.py run on
     # this config is 100% cache hits (same volume program + finalize)
-    summary, chunks, _, _ = r.predict_trits_summary_device(
+    summary, chunks, payload, _, _ = r.predict_trits_summary_device(
         vol_np, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0
     )
     s = np.asarray(summary)
@@ -72,10 +72,13 @@ def main():
     # bf16 accumulation-order noise at the two thresholds
     from hashlib import sha256
 
-    from se_unet_airseg_tpu.infer.sliding_window import decode_trit_summary
+    from se_unet_airseg_tpu.infer.sliding_window import (
+        decode_trit_summary,
+        make_chunk_fetcher,
+    )
 
     trits = decode_trit_summary(
-        s, lambda i: np.asarray(chunks[i]), int(np.prod(shape)), shape
+        s, make_chunk_fetcher(s, chunks, payload), int(np.prod(shape)), shape
     )
     counts = np.bincount(trits.ravel(), minlength=3)
     print(f"trits: counts={counts.tolist()} "
