@@ -122,13 +122,22 @@ def bench_inference():
     n_tiles = len(pad_positions_to_batch(tile_positions(shape), runner.batch))
     depth = int(os.environ.get("BENCH_DEPTH", "4"))
     n_stream = n_vols * int(os.environ.get("BENCH_RUNS", "7"))
-    inflight = [dispatch(vols[i % n_vols]) for i in range(depth)]
+    # dispatch on a worker thread: dispatch blocks on the volume
+    # UPLOAD (~50 MB over the tunnel), fetch blocks on the payload
+    # DOWNLOAD — one worker overlaps the two directions while keeping
+    # dispatch order deterministic (a real serving loop prefetches
+    # uploads the same way; the reference's DataLoader workers do the
+    # host->device staging off the main thread)
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(1)
+    inflight = [ex.submit(dispatch, vols[i % n_vols]) for i in range(depth)]
     ts = [time.perf_counter()]
     for i in range(n_stream):
-        fetch(inflight.pop(0))
+        fetch(inflight.pop(0).result())
         j = i + depth
         if j < n_stream + depth - 1:
-            inflight.append(dispatch(vols[j % n_vols]))
+            inflight.append(ex.submit(dispatch, vols[j % n_vols]))
         ts.append(time.perf_counter())
         if os.environ.get("BENCH_DEBUG"):
             print(f"vol {i}: {ts[-1] - ts[-2]:.2f}s", file=sys.stderr)
