@@ -65,8 +65,8 @@ def bench_inference():
     from se_unet_airseg_tpu.infer import SlidingWindowRunner
     from se_unet_airseg_tpu.infer.sliding_window import (
         BLOCKS_PER_CHUNK,
-        FULL_FETCH_FRAC,
         decode_trit_summary,
+        make_chunk_fetcher,
         trits_to_scores,
     )
     from se_unet_airseg_tpu.post import dti, largest_component
@@ -96,18 +96,16 @@ def bench_inference():
     def fetch(out):
         """Block until the volume is done and pull everything the trit
         reconstruction needs: the per-block summary plus the mixed
-        payload (per-chunk copies when sparse, one whole-payload copy
-        when dense — plain D2H copies of computed buffers either way,
-        no device program at fetch time)."""
+        payload. Route selection (per-chunk copies when sparse, one
+        whole-payload copy when dense) lives in make_chunk_fetcher —
+        both routes are plain D2H copies of computed buffers, no device
+        program at fetch time."""
         summary, chunks, payload, padded_shape, _ = out
-        s = np.asarray(summary)
+        s = np.asarray(summary, np.uint8)
         mixed = np.flatnonzero((s >> 2) != (s & 3))
         need = np.unique(mixed // BLOCKS_PER_CHUNK)
-        if len(need) > FULL_FETCH_FRAC * len(chunks):
-            p = np.asarray(payload).reshape(len(chunks), -1)
-            return (s, {int(c): p[int(c)] for c in need}, padded_shape)
-        return (s, {int(c): np.asarray(chunks[int(c)])
-                    for c in need}, padded_shape)
+        f = make_chunk_fetcher(s, chunks, payload)
+        return (s, {int(c): f(int(c)) for c in need}, padded_shape)
 
     # warmup: compile (served from .jax_cache when present) + one
     # volume so the timed stream is pure steady state
@@ -153,6 +151,33 @@ def bench_inference():
     tiles_per_s = n_vols * n_tiles / p50
     spread = float((blocks[-1] - blocks[0]) / p50)
 
+    # device-side ceiling (VERDICT r3): the same cached whole-volume
+    # program with the volume already device-resident and only a
+    # scalar sync crossing the tunnel — a degraded relay can hurt the
+    # pipeline number above but not this one, so chip progress stays
+    # visible either way.
+    vol_dev = jnp.asarray(vols[0])
+    pos_np = pad_positions_to_batch(tile_positions(shape), runner.batch)
+    pos_dev = jnp.asarray(pos_np)
+    vol_fn = runner._volume_fn(shape, len(pos_np) // runner.batch)
+    rng_dev = jax.random.key(0)
+    shift = jnp.float32(-1024.0)
+    dev_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        pred = vol_fn(runner.params, runner.fast_params, vol_dev, pos_dev,
+                      rng_dev, shift)
+        float(pred.ravel()[0])
+        dev_times.append(time.perf_counter() - t0)
+    # the first run may include a (cache-served) compile: drop it when
+    # it is an outlier vs the rest, then score best-of-warm
+    rest = dev_times[1:]
+    warm = dev_times if dev_times[0] < 2 * min(rest) else rest
+    warm = sorted(warm)
+    dev_t = warm[0]
+    device_tiles_per_s = n_tiles / dev_t
+    dev_spread = (warm[-1] - warm[0]) / dev_t
+
     # host post-processing chain: end-to-end coverage, not timed (the
     # reference's throughput unit is inference+stitching). The volume
     # extents exceed one cube, so padded shape == shape here.
@@ -171,6 +196,8 @@ def bench_inference():
         "p90_s": round(p90, 3),
         "vols_per_window": n_vols,
         "rel_spread": round(spread, 3),
+        "device_tiles_per_s": round(device_tiles_per_s, 2),
+        "device_rel_spread": round(dev_spread, 3),
     }
     # the OTHER north-star number (BASELINE.md: forward AND train
     # step), captured in the same driver-read line

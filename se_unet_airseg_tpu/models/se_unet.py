@@ -571,19 +571,31 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         y, s1, s2 = dil2_conv_stats(x, p["conv"]["w"], p["conv"]["b"])
         e = leaky_relu(instance_norm_from_stats(y, s1, s2))
     elif mode == "grouped" or bm:
-        if (bm and use_epi and pre is not None and "wdense" in pre
+        if (use_epi and pre is not None and "wdense" in pre
                 and "epi_wgs" in pre
                 and os.environ.get("PALLAS_DIL2BM", "1") == "1"):
-            # fused bm Pallas path: block-diag dense conv + stats in
-            # one double-buffered kernel, streamed finalize epilogue
-            from ..ops.pallas_s2d import dil2_gated_block_bm
+            # fused Pallas path: block-diag dense conv + stats in one
+            # double-buffered kernel, streamed finalize epilogue. bm
+            # callers hit the kernel directly; s2d callers route
+            # through it behind transpose bitcasts (tbm wrapper).
+            from ..ops.pallas_s2d import (
+                dil2_gated_block_bm,
+                dil2_gated_block_tbm,
+                tbm_enabled,
+            )
 
-            e = dil2_gated_block_bm(x, pre["wdense"], pre["bg"],
-                                    pre["epi_wgs"], pre["epi_oh"])
-            if not want_side:
-                return e, None
-            return e, grouped_pointwise(e, p["side"]["w"][0, 0, 0],
-                                        p["side"]["b"])
+            e = None
+            if bm:
+                e = dil2_gated_block_bm(x, pre["wdense"], pre["bg"],
+                                        pre["epi_wgs"], pre["epi_oh"])
+            elif tbm_enabled():
+                e = dil2_gated_block_tbm(x, pre["wdense"], pre["bg"],
+                                         pre["epi_wgs"], pre["epi_oh"])
+            if e is not None:
+                if not want_side:
+                    return e, None
+                return e, grouped_pointwise(e, p["side"]["w"][0, 0, 0],
+                                            p["side"]["b"])
         w = p["conv"]["w"]
         if w.shape[3] <= 16:
             # narrow blocks (ec3: 16-ch groups): the TPU grouped-conv
@@ -970,9 +982,14 @@ def apply_fast(
                 and "epi_wgs" in pre_
 
         def _dil2_whole(kw):
-            return (bool(kw.get("bm")) and _phased_whole(kw)
-                    and "wdense" in kw["pre"]
-                    and os.environ.get("PALLAS_DIL2BM", "1") == "1")
+            if not (_phased_whole(kw) and "wdense" in kw["pre"]
+                    and os.environ.get("PALLAS_DIL2BM", "1") == "1"):
+                return False
+            if bool(kw.get("bm")):
+                return True
+            from ..ops.pallas_s2d import tbm_enabled
+
+            return tbm_enabled()
 
         def _wrap(f, whole_pred=None):
             def wrapped(pb, xb, **kw):

@@ -1959,3 +1959,22 @@ def _d2gbm_bwd(res, ct):
 
 
 dil2_gated_block_bm.defvjp(_d2gbm_fwd, _d2gbm_bwd)
+
+
+def dil2_gated_block_tbm(x, wd, bg, wgs, oh):
+    """s2d-interface fused dil-2 block routed through the batch-minor
+    kernel behind transpose pairs — bitcasts under the conv emitter's
+    preferred {4,0,3,2,1} s2d layout (see the tbm block comment above),
+    so the DEFAULT model config inherits the kernel without the
+    batch-minor layout flip. Returns None when the bm kernel can't run
+    at this shape (caller keeps the s2d composition)."""
+    b, d, h, nx, c8 = x.shape
+    c8o = wd.shape[-1]
+    if c8 % 128 or c8o % 128 or b % 8:
+        return None
+    if _dil2_bm_pick(d, h, nx, b, c8, c8o, x.dtype.itemsize) is None:
+        return None
+    e = dil2_gated_block_bm(
+        jnp.transpose(x, (1, 2, 3, 0, 4)), wd, bg, wgs, oh
+    )
+    return jnp.transpose(e, (3, 0, 1, 2, 4))

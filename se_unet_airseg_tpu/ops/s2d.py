@@ -33,6 +33,7 @@ locked by tests/test_fast_path.py.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from itertools import product
 
@@ -197,6 +198,10 @@ def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
     free of host-streamed constants (each costs a tunnel round-trip
     per execution on relayed TPU hosts)."""
     b, d, h, w, c = x.shape
+    if c >= 8 and os.environ.get("UP_SLABS", "0") == "1":
+        # per-parity slab emission: no 8-D parity axes, no packing
+        # reshape — see upsample_to_s2d_slabs
+        return upsample_to_s2d_slabs(x, scale, pair=pair)
     dtype = x.dtype
     # bf16 path: contract in bf16 (MXU accumulates f32) — the f32
     # staging tensors cost ~2x the HBM traffic of the whole chain and
@@ -209,12 +214,6 @@ def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
         md = jnp.asarray(_interp_pair(d, d * scale), ct)
         mh = jnp.asarray(_interp_pair(h, h * scale), ct)
         mw = jnp.asarray(_interp_pair(w, w * scale), ct)
-    import os
-
-    if c >= 8 and os.environ.get("UP_SLABS", "0") == "1":
-        # per-parity slab emission: no 8-D parity axes, no packing
-        # reshape — see upsample_to_s2d_slabs
-        return upsample_to_s2d_slabs(x, scale, pair=pair)
     y = x.astype(ct)
     # each contraction EMITS its parity axis directly in the final
     # (b, D, H, W, az, ey, fx, c) order, so the s2d regroup below is a

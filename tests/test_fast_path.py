@@ -139,6 +139,33 @@ def test_remat_skip_wholeblock_grads_match(monkeypatch):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_dil2_tbm_route_matches(monkeypatch):
+    """The default-layout dil-2 blocks routed through the fused
+    batch-minor kernel behind transpose bitcasts (EPI_TBM +
+    PALLAS_DIL2BM, both default-on) must match the plain s2d
+    composition. Needs B%8==0 so the bm kernel accepts the transposed
+    batch as sublanes."""
+    from se_unet_airseg_tpu.models.se_unet import prepare_fast_params
+
+    cfg = SEUNetConfig(use_pallas_epi=True, batch_minor=False)
+    params = init_params(jax.random.key(40), cfg)
+    x = jax.random.normal(jax.random.key(41), (8, 16, 16, 16, 2), jnp.float32)
+    fp = jax.jit(lambda p: prepare_fast_params(p, cfg, n=8))(params)
+    monkeypatch.setenv("PALLAS_DIL2BM", "0")
+    en0, de0 = apply_fast(params, x, cfg=cfg, fast_params=fp)
+    monkeypatch.setenv("PALLAS_DIL2BM", "1")
+    monkeypatch.setenv("EPI_TBM", "1")
+    en1, de1 = apply_fast(params, x, cfg=cfg, fast_params=fp)
+    np.testing.assert_allclose(np.asarray(en1), np.asarray(en0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(de1), np.asarray(de0),
+                               rtol=1e-4, atol=1e-5)
+    # gradients of the tbm route are the kernel's custom_vjp (exact
+    # XLA composition) behind transposes — covered at kernel level by
+    # test_pallas_epi; a whole-model grad here costs minutes in
+    # interpret mode for no extra coverage.
+
+
 def test_ec12_phased_routing_matches():
     """ec12_phased=True (lift-free phased ec1/ec2) equals the default
     dense-lift routing, in both layouts, with prepared fast params."""

@@ -5,6 +5,10 @@ L2 -> L5 -> L6 chain lands its on-disk contract (SURVEY.md §2.11)."""
 import json
 import os
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from se_unet_airseg_tpu.io import write_nifti

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from se_unet_airseg_tpu.io import read_nifti, write_nifti
 from se_unet_airseg_tpu.models.se_unet import SEUNetConfig
 

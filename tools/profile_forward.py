@@ -152,7 +152,10 @@ def main():
               f"({B/wall:.1f} tiles/s)")
     elif what == "engine":
         from se_unet_airseg_tpu.infer import SlidingWindowRunner
-        from se_unet_airseg_tpu.infer.sliding_window import BLOCKS_PER_CHUNK
+        from se_unet_airseg_tpu.infer.sliding_window import (
+            BLOCKS_PER_CHUNK,
+            make_chunk_fetcher,
+        )
 
         runner = SlidingWindowRunner(params, cfg, batch=8)
         vol = (np.random.default_rng(0).random((320, 256, 320)) * 1400.0
@@ -164,14 +167,12 @@ def main():
             summary, chunks, payload, padded_shape, _ = (
                 runner.predict_trits_summary_device(
                     vol, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0))
-            s = np.asarray(summary)
+            s = np.asarray(summary, np.uint8)
             mixed = np.flatnonzero((s >> 2) != (s & 3))
             need = np.unique(mixed // BLOCKS_PER_CHUNK)
-            if len(need) > 0.25 * len(chunks):
-                np.asarray(payload)
-            else:
-                for c in need:
-                    np.asarray(chunks[int(c)])
+            f = make_chunk_fetcher(s, chunks, payload)
+            for c in need:
+                f(int(c))
             return summary
 
         wall = _trace(run, logdir, iters)
