@@ -15,8 +15,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.looptime import op_time_ms  # noqa: E402
-
 # name: (B, n, ci, co)
 SHAPES = {
     "ec3": (8, 64, 16, 32),
@@ -25,9 +23,48 @@ SHAPES = {
 }
 
 
-def timeit(tag, op, x):
+def _loop_fn(op, k: int):
+    """Like tools.looptime._loop_fn but weights ride as jit ARGUMENTS
+    (closure-captured device arrays become HLO constants, which the
+    relay's compile endpoint rejects past a few MB — HTTP 413)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(x, *consts):
+        def body(i, carry):
+            y = op(x + carry.astype(x.dtype), *consts)
+            first = jax.tree.leaves(y)[0]
+            # consume the WHOLE result: reading only element [0] lets
+            # XLA rewrite dot+slice into slice+dot and time ~nothing
+            return (jnp.sum(first, dtype=jnp.float32) * 1e-30)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    return jax.jit(f)
+
+
+def op_time_ms(op, x, *consts, k1=2, k2=12, reps=3):
+    import time
+
+    f1 = _loop_fn(op, k1)
+    f2 = _loop_fn(op, k2)
+
+    def timed(f):
+        float(f(x, *consts))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x, *consts))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(f1), timed(f2)
+    return max((t2 - t1) / (k2 - k1) * 1e3, 0.0)
+
+
+def timeit(tag, op, x, *consts):
     try:
-        t = op_time_ms(op, x)
+        t = op_time_ms(op, x, *consts)
     except Exception as e:
         print(f"  {tag:12s}: FAILED {type(e).__name__}: {str(e)[:100]}",
               flush=True)
@@ -73,17 +110,17 @@ def main():
 
         if "dense" in variants:
             timeit("conv_dense",
-                   lambda t: conv3d(t, wd, bg, padding=1, batch_minor=True),
-                   x)
+                   lambda t, wd, bg: conv3d(t, wd, bg, padding=1,
+                                            batch_minor=True), x, wd, bg)
         if "grouped" in variants:
             timeit("conv_grouped",
-                   lambda t: conv3d(t, wg, bg, padding=1, groups=8,
-                                    batch_minor=True), x)
+                   lambda t, wg, bg: conv3d(t, wg, bg, padding=1, groups=8,
+                                            batch_minor=True), x, wg, bg)
         if "pp" in variants:
             # polyphase-batch core: phases ride batch, conv is dense
             # (B*8, n, n, n, ci) -> co; includes the relayouts the pp
             # route pays in bm form
-            def pp(t):
+            def pp(t, w, b):
                 t = jnp.transpose(t, (3, 0, 1, 2, 4))  # (B,n,n,n,c8)
                 t = t.reshape(B, n, n, n, 8, ci)
                 t = jnp.moveaxis(t, 4, 1).reshape(B * 8, n, n, n, ci)
@@ -91,10 +128,11 @@ def main():
                 y = y.reshape(B, 8, n, n, n, co)
                 y = jnp.moveaxis(y, 1, 4).reshape(B, n, n, n, c8o)
                 return jnp.transpose(y, (1, 2, 3, 0, 4))
-            timeit("conv_pp", pp, x)
+            timeit("conv_pp", pp, x, w, b)
         if "pallas" in variants:
             timeit("pallas_cs",
-                   lambda t: dil2_conv_stats_bm(t, wd, bg), x)
+                   lambda t, wd, bg: dil2_conv_stats_bm(t, wd, bg),
+                   x, wd, bg)
         if "fin" in variants:
             y = jnp.asarray(
                 r.standard_normal((n, n, n, B, c8o), np.float32),
@@ -104,17 +142,33 @@ def main():
             wgs = jnp.zeros((1, c8o, 128), jnp.bfloat16)
             ohp = jnp.zeros((128, c8o), jnp.bfloat16)
             timeit("finalize",
-                   lambda t: gated_norm_finalize_bm(t, sc, sh, wgs, ohp), y)
+                   lambda t, sc, sh, wgs, ohp:
+                   gated_norm_finalize_bm(t, sc, sh, wgs, ohp),
+                   y, sc, sh, wgs, ohp)
         if "matmul" in variants:
             # speed-of-light: one matmul with the dense formulation's
-            # MXU work (M = spatial*batch, K = 27*c8 im2col, N = c8o)
+            # MXU work (M = spatial*batch, K = 27*c8 im2col, N = c8o);
+            # rows capped to keep the operand in HBM, result scaled
             M = n * n * n * B
             K = 27 * c8
-            a = jnp.asarray(r.standard_normal((M, K), np.float32),
+            Ms = min(M, 131072)
+            a = jnp.asarray(r.standard_normal((Ms, K), np.float32),
                             jnp.bfloat16)
             wm = jnp.asarray(r.standard_normal((K, c8o), np.float32),
                              jnp.bfloat16)
-            timeit("matmul_SOL", lambda t: t @ wm, a)
+            t = None
+            try:
+                t = op_time_ms(lambda t, wm: t @ wm, a, wm)
+            except Exception as e:
+                print(f"  matmul_SOL  : FAILED {type(e).__name__}: "
+                      f"{str(e)[:100]}", flush=True)
+            if t is not None and t > 1e-3:
+                print(f"  matmul_SOL  : {t * M / Ms:7.2f} ms/op implied "
+                      f"(measured {t:.2f} at M={Ms}, "
+                      f"{2 * Ms * K * c8o / t / 1e9:.0f} GF/s)", flush=True)
+            elif t is not None:
+                print(f"  matmul_SOL  : unmeasurable ({t:.4f} ms at M={Ms} "
+                      f"— likely optimized away)", flush=True)
 
 
 if __name__ == "__main__":
