@@ -573,7 +573,7 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
     elif mode == "grouped" or bm:
         if (use_epi and pre is not None and "wdense" in pre
                 and "epi_wgs" in pre
-                and os.environ.get("PALLAS_DIL2BM", "1") == "1"):
+                and os.environ.get("PALLAS_DIL2BM", "0") == "1"):
             # fused Pallas path: block-diag dense conv + stats in one
             # double-buffered kernel, streamed finalize epilogue. bm
             # callers hit the kernel directly; s2d callers route
@@ -959,7 +959,6 @@ def apply_fast(
     _d2m = os.environ.get("DIL2_MODE", cfg.dil2_mode)
     d2m = {k: os.environ.get(f"DIL2_MODE_{k.upper()}", _d2m)
            for k in ("ec3", "ec5", "ec6")}
-    s2d_l = space_to_depth_bm if bm else space_to_depth
     up_s2d = upsample_to_s2d_bm if bm else upsample_to_s2d
 
     if cfg.remat:
@@ -983,7 +982,7 @@ def apply_fast(
 
         def _dil2_whole(kw):
             if not (_phased_whole(kw) and "wdense" in kw["pre"]
-                    and os.environ.get("PALLAS_DIL2BM", "1") == "1"):
+                    and os.environ.get("PALLAS_DIL2BM", "0") == "1"):
                 return False
             if bool(kw.get("bm")):
                 return True
@@ -1035,12 +1034,16 @@ def apply_fast(
     e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], pre=fp["ec33"],
                         use_epi=epi, bm=bm)
     e1 = e1 + _cat_block_s2d(p["x33"], xs, pre=fp["x33"], use_epi=epi, bm=bm)
-    e2 = max_pool_s2d(e1)  # exits s2d: (…, 32)
-    x2 = max_pool_s2d(xs)
-
     # ---- encoder level 2 (s2d at 32^3 blocks: 256-512 channels) ----
-    e2s = s2d_l(e2)
-    x2s = s2d_l(x2)
+    # NOTE: the fused slice-first pool+s2d (ops.s2d.max_pool_s2d_down)
+    # was built to kill the thin lane-padded pool temps in the train
+    # backward, and measured a LOSS both ways: inference 32.8 -> 29.3
+    # tiles/s (8 stride-2 re-reads of the full-res tensor), train step
+    # 1095 -> 1186 ms. The composition stays; the op + its parity test
+    # remain as the measured record.
+    s2d_l = space_to_depth_bm if bm else space_to_depth
+    e2s = s2d_l(max_pool_s2d(e1))
+    x2s = s2d_l(max_pool_s2d(xs))
     e2s, _ = _sse_block_s2d_phased(p["ec4"], e2s, want_side=False, n_gates=2,
                                    use_pallas=upl, pre=fp["ec4"],
                                    use_epi=epi, bm=bm)

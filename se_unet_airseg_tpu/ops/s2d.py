@@ -179,6 +179,46 @@ def max_pool_s2d(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _pool_down(x, c8: int, spatial_slice):
+    """Shared core of max_pool_s2d_down[_bm]: per output sub-position
+    take the stride-2 spatial slice FIRST (full 8C lanes), then reduce
+    the 8 input sub-positions with a maximum tree, and concat the 8
+    results p-major. Equivalent to space_to_depth(max_pool_s2d(x)) but
+    no thin C-lane tensor at the pre-pool resolution ever materializes
+    — the thin max-tree temps the composition creates are lane-padded
+    up to 4-64x by the (8,128) tiling and showed up as the dominant
+    HBM temps in the 128^3 train-step backward."""
+    c = c8 // 8
+    outs = []
+    for pz in (0, 1):
+        for py in (0, 1):
+            for px in (0, 1):
+                sp = spatial_slice(x, pz, py, px)
+                m = sp[..., :c]
+                for q in range(1, 8):
+                    m = jnp.maximum(m, sp[..., q * c : (q + 1) * c])
+                outs.append(m)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def max_pool_s2d_down(x: jnp.ndarray) -> jnp.ndarray:
+    """Fused max_pool_s2d + space_to_depth:
+    (B, n, n, n, 8C) -> (B, n/2, n/2, n/2, 8C)."""
+    return _pool_down(
+        x, x.shape[-1],
+        lambda t, pz, py, px: t[:, pz::2, py::2, px::2, :],
+    )
+
+
+def max_pool_s2d_down_bm(x: jnp.ndarray) -> jnp.ndarray:
+    """Fused max_pool_s2d + space_to_depth_bm:
+    (n, n, n, B, 8C) -> (n/2, n/2, n/2, B, 8C)."""
+    return _pool_down(
+        x, x.shape[-1],
+        lambda t, pz, py, px: t[pz::2, py::2, px::2, :, :],
+    )
+
+
 @lru_cache(maxsize=None)
 def _interp_pair(n_in: int, n_out_full: int) -> np.ndarray:
     """(2, n_out_full//2, n_in): even/odd rows of the align_corners

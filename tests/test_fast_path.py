@@ -166,6 +166,23 @@ def test_dil2_tbm_route_matches(monkeypatch):
     # interpret mode for no extra coverage.
 
 
+def test_dil2_pp_route_matches():
+    """DIL2_MODE=pp (polyphase-batch dil-2: phases ride the batch axis
+    so the conv is dense) must match the default grouped/dense-lift
+    formulation at the model level (ADVICE r3: the route had no parity
+    test despite being globally enableable via cfg.dil2_mode)."""
+    cfg0 = SEUNetConfig(dil2_mode="grouped", use_pallas_epi=False)
+    params = init_params(jax.random.key(50), cfg0)
+    x = jax.random.normal(jax.random.key(51), (2, 16, 16, 16, 2), jnp.float32)
+    en0, de0 = apply_fast(params, x, cfg=cfg0)
+    cfg1 = SEUNetConfig(dil2_mode="pp", use_pallas_epi=False)
+    en1, de1 = apply_fast(params, x, cfg=cfg1)
+    np.testing.assert_allclose(np.asarray(en1), np.asarray(en0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(de1), np.asarray(de0),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_ec12_phased_routing_matches():
     """ec12_phased=True (lift-free phased ec1/ec2) equals the default
     dense-lift routing, in both layouts, with prepared fast params."""

@@ -96,6 +96,27 @@ def test_max_pool_s2d_matches():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_max_pool_s2d_down_matches_composition():
+    from se_unet_airseg_tpu.ops.s2d import (
+        max_pool_s2d_down,
+        max_pool_s2d_down_bm,
+        space_to_depth_bm,
+    )
+
+    x = _rand(2, 16, 16, 16, 3, seed=14)
+    xs = space_to_depth(x)
+    want = space_to_depth(max_pool_s2d(xs))
+    got = max_pool_s2d_down(xs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # bm: same values in (D, H, W, B, C) order
+    xs_bm = space_to_depth_bm(jnp.transpose(x, (1, 2, 3, 0, 4)))
+    got_bm = max_pool_s2d_down_bm(xs_bm)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(got_bm, (3, 0, 1, 2, 4))), np.asarray(want)
+    )
+
+
 def test_upsample_to_s2d_matches():
     for scale, m in [(2, 8), (4, 4), (8, 2)]:
         x = _rand(1, m, m, m, 2, seed=13 + scale)
