@@ -200,7 +200,11 @@ def bench_inference():
         "device_rel_spread": round(dev_spread, 3),
     }
     # the OTHER north-star number (BASELINE.md: forward AND train
-    # step), captured in the same driver-read line
+    # step), captured in the same driver-read line. Free the inference
+    # state first: the B=8 remat step (REMAT_SKIP_WHOLEBLOCK default)
+    # needs most of HBM, and the runner's params/fast_params/volume
+    # buffers OOM'd it in-process (round 4).
+    del pred, vol_dev, pos_dev, vol_fn, fetched, runner, dispatch, fetch
     try:
         out.update(_train_step_metrics())
     except Exception as e:  # train metric must never sink the headline

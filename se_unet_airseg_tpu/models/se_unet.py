@@ -81,15 +81,6 @@ class SEUNetConfig:
     # batch-major layout vanish. None resolves to the FASTPATH_BM env
     # var (default OFF until the Pallas epilogues are ported).
     batch_minor: bool | None = None
-    # route the narrow full-res encoder blocks (ec1/ec2) through the
-    # phased conv instead of the block-lifted dense 3^3 kernel: the
-    # lift costs 8x the logical FLOPs (~100 GFLOP/tile of structural
-    # zeros at ec2); the phased form costs only the logical FLOPs but
-    # adds gather traffic — which the bm Pallas epilogue absorbs. In
-    # round 2 (batch-major, no epilogue) phased ec1/ec2 measurably
-    # LOST (13.8 -> 10.7 tiles/s); re-evaluated under bm+epi. None
-    # resolves to the FASTPATH_EC12_PHASED env var (default OFF).
-    ec12_phased: bool | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -406,17 +397,11 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
         )
         return e
 
-    # full-res lifted blocks (dense 3^3 block kernel) — the phased
-    # (lift-free) weights ride along for the ec12_phased routing
+    # full-res lifted blocks (dense 3^3 block kernel)
     for name in ("ec1", "ec2"):
-        w_all, b_all = phased_conv_weights(
-            p[name]["conv"]["w"], p[name]["conv"]["b"], None
-        )
         fp[name] = {
             "w": conv3_weight_to_s2d(p[name]["conv"]["w"]),
             "b": bias_to_s2d(p[name]["conv"]["b"]),
-            "w_all": w_all,
-            "b_all": b_all,
             **se_entries(name, 1),
         }
     # dilation-2 blocks: grouped-conv weights (weights tiled across the
@@ -440,9 +425,6 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
                for g in range(gates)},
             **se_entries(name, gates),
         }
-        if w.shape[3] > 16:
-            # grouped-conv weights for the XLA wide-block path
-            fp[name]["wg"] = jnp.tile(w, (1, 1, 1, 1, 8))
     # phased blocks; in_splits = original channel counts of the plain
     # concat feeding them (channel plan in the module docstring)
     for name, gates, splits in (
@@ -597,24 +579,22 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                 return e, grouped_pointwise(e, p["side"]["w"][0, 0, 0],
                                             p["side"]["b"])
         w = p["conv"]["w"]
-        if w.shape[3] <= 16:
-            # narrow blocks (ec3: 16-ch groups): the TPU grouped-conv
-            # emitter pads each group to 128 lanes — a block-diagonal
-            # DENSE conv is >2x faster despite 8x the (structurally
-            # zero) FLOPs (A/B: 98.5 vs 46.8 ms at the ec3 shape)
-            if pre is not None and "wdense" in pre:
-                wd, bg = pre["wdense"], pre["bg"]
-            else:
-                wd = dil2_dense_weight(w, x.dtype)
-                bg = jnp.tile(p["conv"]["b"], 8)
-            y = conv3d(x, wd, bg, padding=1, batch_minor=bm)
+        # Formulation (loop-slope device A/Bs, ROADMAP r4a): the TPU
+        # grouped-conv emitter pads each 16-64-lane group to 128, so
+        # the block-diagonal DENSE conv beats it despite 8x the
+        # (structurally zero) FLOPs — it runs AT the lifted-work MXU
+        # speed-of-light (ec3: 19.2 vs 52.0 ms, ec5: 4.9 vs 6.6).
+        # ec6's grouped conv alone is 3 ms faster (6.5 vs 9.6) but
+        # drags ~8 ms of relayout copies around it (fusion.50 +
+        # conv-input copy, round-4 profile), and the grouped autodiff
+        # dgrad/wgrad in training inherit the pathological emitter
+        # (11.6 ms each at B=2) — dense everywhere, always.
+        if pre is not None and "wdense" in pre:
+            wd, bg = pre["wdense"], pre["bg"]
         else:
-            if pre is not None and "wg" in pre:
-                wg, bg = pre["wg"], pre["bg"]
-            else:
-                wg = jnp.tile(w, (1, 1, 1, 1, 8))
-                bg = jnp.tile(p["conv"]["b"], 8)
-            y = conv3d(x, wg, bg, padding=1, groups=8, batch_minor=bm)
+            wd = dil2_dense_weight(w, x.dtype)
+            bg = jnp.tile(p["conv"]["b"], 8)
+        y = conv3d(x, wd, bg, padding=1, batch_minor=bm)
         if use_epi and pre is not None and "epi_wgs" in pre:
             from ..ops.pallas_s2d import pick_gated_norm_block
 
@@ -948,11 +928,6 @@ def apply_fast(
         bm = os.environ.get("FASTPATH_BM", "0") == "1"
     else:
         bm = bool(cfg.batch_minor)
-    # phased (lift-free) formulation for ec1/ec2 — see SEUNetConfig
-    if cfg.ec12_phased is None:
-        ec12p = os.environ.get("FASTPATH_EC12_PHASED", "0") == "1"
-    else:
-        ec12p = bool(cfg.ec12_phased)
     # per-block dil-2 formulation: DIL2_MODE overrides cfg.dil2_mode
     # globally, DIL2_MODE_EC{3,5,6} per block ("grouped" | "polyphase"
     # | "pp"; pp = polyphase-batch, not available under bm)
@@ -971,9 +946,11 @@ def apply_fast(
         # are the block INPUTS (= the remat boundary values, saved
         # either way) and their backward recomputes from those inputs
         # via the XLA composition, so checkpointing them adds a Pallas
-        # forward replay the backward never consumes. Off by default
-        # pending a TPU A/B that XLA doesn't already DCE the replay.
-        skip_whole = os.environ.get("REMAT_SKIP_WHOLEBLOCK", "0") == "1"
+        # forward replay the backward never consumes. Default ON since
+        # round 4 (A/B: 1091 -> 1035 ms/step at B=8 128^3; gradients
+        # bitwise-equal, test_remat_skip_wholeblock_grads_match; the
+        # B=8 HBM fit needed max_pool_s2d's fat-concat custom bwd).
+        skip_whole = os.environ.get("REMAT_SKIP_WHOLEBLOCK", "1") == "1"
 
         def _phased_whole(kw):
             pre_ = kw.get("pre")
@@ -990,10 +967,21 @@ def apply_fast(
 
             return tbm_enabled()
 
+        # size-based selective remat: blocks whose INPUT tensors are
+        # small keep their activations (no recompute in backward) —
+        # only the full-res blocks, whose activations dominate HBM,
+        # pay the recompute. REMAT_MIN_MB=0 checkpoints everything.
+        min_bytes = float(os.environ.get("REMAT_MIN_MB", "0")) * 1e6
+
         def _wrap(f, whole_pred=None):
             def wrapped(pb, xb, **kw):
                 if skip_whole and whole_pred is not None and whole_pred(kw):
                     return f(pb, xb, **kw)
+                if min_bytes:
+                    nbytes = sum(t.size * t.dtype.itemsize
+                                 for t in jax.tree.leaves(xb))
+                    if nbytes < min_bytes:
+                        return f(pb, xb, **kw)
                 return jax.checkpoint(lambda p_, x_: f(p_, x_, **kw))(pb, xb)
             return wrapped
 
@@ -1017,16 +1005,15 @@ def apply_fast(
 
     # ---- encoder level 1 (s2d) ----
     xs = s2d_entry_bm(x) if bm else space_to_depth(x)  # (…, 16)
-    if ec12p and "w_all" in fp["ec1"]:
-        e0, _ = _sse_block_s2d_phased(p["ec1"], xs, want_side=False,
-                                      pre=fp["ec1"], use_epi=epi, bm=bm)
-        e1, _ = _sse_block_s2d_phased(p["ec2"], e0, want_side=False,
-                                      pre=fp["ec2"], use_epi=epi, bm=bm)
-    else:
-        e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"],
-                               use_epi=epi, bm=bm)
-        e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"],
-                               use_epi=epi, bm=bm)
+    # ec1/ec2 use the block-lifted dense 3^3 kernel: the lift's 8x
+    # structural-zero FLOPs are negligible at Ci<=16 and the phased
+    # (lift-free) alternative measurably lost in round 2
+    # (13.8 -> 10.7 tiles/s) and trips a Mosaic 64-lane slice limit
+    # under the round-4 kernel set — removed.
+    e0, _ = _sse_block_s2d(p["ec1"], xs, want_side=False, pre=fp["ec1"],
+                           use_epi=epi, bm=bm)
+    e1, _ = _sse_block_s2d(p["ec2"], e0, want_side=False, pre=fp["ec2"],
+                           use_epi=epi, bm=bm)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
                                   use_pallas=upl_dil2, pre=fp["ec3"],
                                   mode=d2m["ec3"], use_epi=epi, bm=bm)
@@ -1035,12 +1022,10 @@ def apply_fast(
                         use_epi=epi, bm=bm)
     e1 = e1 + _cat_block_s2d(p["x33"], xs, pre=fp["x33"], use_epi=epi, bm=bm)
     # ---- encoder level 2 (s2d at 32^3 blocks: 256-512 channels) ----
-    # NOTE: the fused slice-first pool+s2d (ops.s2d.max_pool_s2d_down)
-    # was built to kill the thin lane-padded pool temps in the train
-    # backward, and measured a LOSS both ways: inference 32.8 -> 29.3
-    # tiles/s (8 stride-2 re-reads of the full-res tensor), train step
-    # 1095 -> 1186 ms. The composition stays; the op + its parity test
-    # remain as the measured record.
+    # (the slice-first pool+s2d fusion and the train-only pool_down
+    # gate both measured net losses — ROADMAP r4d; max_pool_s2d's
+    # custom_vjp now emits the backward as one fat 8C-lane concat
+    # instead, which is what the thin-lane temps actually needed)
     s2d_l = space_to_depth_bm if bm else space_to_depth
     e2s = s2d_l(max_pool_s2d(e1))
     x2s = s2d_l(max_pool_s2d(xs))
@@ -1111,17 +1096,12 @@ def apply_fast(
                          use_epi=epi, bm=bm)
 
     # ---- decoder level 1 (full res, all in s2d) ----
-    if not bm and os.environ.get("UP_FOLD_D2S", "0") == "1":
-        # fused depth_to_space + upsample (slab form): the d2s 8-D
-        # shuffle never materializes
-        from ..ops.s2d import upsample_s2d_to_s2d_slabs
-
-        m2 = 2 * d1s.shape[1]
-        up_s = upsample_s2d_to_s2d_slabs(d1s, pair=interp.get((m2, 2 * m2)))
-    else:
-        d1f = depth_to_space_bm(d1s) if bm else depth_to_space(d1s)
-        m = d1f.shape[0 if bm else 1]
-        up_s = up_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
+    # (the fused d2s+upsample slab form — UP_FOLD_D2S — measured a
+    # loss against d2s + slab-form upsample_to_s2d both rounds it was
+    # tried: r3 neutral-at-best, r4 34.56 vs 36.19 tiles/s — deleted)
+    d1f = depth_to_space_bm(d1s) if bm else depth_to_space(d1s)
+    m = d1f.shape[0 if bm else 1]
+    up_s = up_s2d(d1f, 2, pair=interp.get((m, 2 * m)))  # (n^3, 8*32)
     d2, _ = _sse_block_s2d_phased(p["dc5"], [up_s, e1], want_side=False,
                                   use_pallas=upl, pre=fp["dc5"],
                                   use_epi=epi, bm=bm)

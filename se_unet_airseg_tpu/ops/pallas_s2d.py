@@ -744,6 +744,53 @@ def _xla_gated_composition(xs, w_all, b_all, wgs, oh):
     return e
 
 
+def _xla_gated_composition_fatbwd(xs, w_all, b_all, wgs, oh):
+    """Same math as _xla_gated_composition, structured gather-FIRST:
+    the conv's phase slices concat into the fat (…, 8Co) tensor BEFORE
+    InstanceNorm/LeakyReLU/SE, so the autodiff backward of those ops
+    stays in 8Co lanes. The per-slice form (conv3_s2d_phased_fused)
+    normalizes inside the concat — one pass cheaper FORWARD, but its
+    backward materializes 8 thin Co-lane tensors per block, which the
+    (8,128) lane tiling pads 4-8x (~60 ms of the round-4 step
+    profile's elementwise fusions). MEASURED: routing the phased
+    custom_vjp backwards through this form OOMs HBM at B=8 128^3 —
+    the gathered fat tensor becomes a saved residual that outweighs
+    the thin-lane padding it removes. Kept as the record + for
+    smaller-crop configs; equals the per-slice form up to f32
+    reassociation of the channel sums."""
+    from itertools import product as _product
+
+    from .conv import conv3d
+    from .norms import leaky_relu
+    from .s2d import HP, instance_norm_s2d
+
+    xs = list(xs)
+    co = w_all.shape[-1] // 8
+    n = xs[0].shape[1]
+    y = None
+    off = 0
+    for t in xs:
+        k = t.shape[-1]
+        yt = conv3d(t, w_all[:, :, :, off : off + k, :],
+                    b_all if y is None else None, padding=1)
+        y = yt if y is None else y + yt
+        off += k
+    e = jnp.concatenate(
+        [y[:, a : a + n, bb : bb + n, c : c + n, q * co : (q + 1) * co]
+         for q, (a, bb, c) in enumerate(_product(range(2), repeat=3))],
+        axis=-1,
+    )
+    e = leaky_relu(instance_norm_s2d(e))
+    for g in range(wgs.shape[0]):
+        gate = jax.nn.sigmoid(
+            jnp.einsum("...i,ip->...p", e, wgs[g, :, :8].astype(e.dtype),
+                       precision=HP)
+        )
+        e = e * jnp.einsum("...p,pj->...j", gate, oh[:8].astype(e.dtype),
+                           precision=HP)
+    return e
+
+
 def _pallas_gated_forward(xs, w_all, b_all, wgs, oh, eps=1e-5):
     """XLA conv (list partial sums) + XLA window stats + Pallas fused
     epilogue. Falls back to the full XLA composition when no tile
@@ -1180,6 +1227,83 @@ def gated_norm_block_tbm(y, wgs, oh):
     return jnp.transpose(e, (3, 0, 1, 2, 4))
 
 
+def phase_slice_stats_ie(y, co):
+    """Per-original-channel InstanceNorm sums of the 8 phase slices of
+    a phased conv's EXT output, via inclusion-exclusion on boundary
+    planes instead of 8 full-tensor slice reductions.
+
+    `y` is the batch-major ext output (B, m, m, m, 8co), m = n+1; the
+    phase-q slice is y[:, a:a+n, b:b+n, c:c+n, q*co:(q+1)*co] with
+    (a, b, c) the bits of q. Each slice's sum equals the FULL sum minus
+    the one excluded plane per axis, with edge/corner correction terms
+    (inclusion-exclusion). The full (B, 8co) reductions consume the
+    conv output directly, so XLA fuses them into the conv fusion
+    itself (measured: the ec3 dense conv+stats emit as ONE fusion);
+    the correction terms read only boundary planes (~5% of the
+    tensor). Returns (s1, s2): (B, co) f32 sums over all 8 slices.
+
+    Replaces the 8-slice reduction in _pallas_gated_forward_tbm whose
+    separate full-tensor stats fusions cost ~6 ms/batch at the dc5/dc6
+    shapes (round-4 profile, fusion.5/.13)."""
+    f32 = jnp.float32
+    B, m = y.shape[0], y.shape[1]
+    n = m - 1
+
+    def _sums(t, axes):
+        return (jnp.sum(t, axis=axes, dtype=f32),
+                jnp.sum(jnp.square(t.astype(f32)), axis=axes))
+
+    s1f, s2f = _sums(y, (1, 2, 3))  # (B, 8co) — fuses into the conv
+    # boundary planes at index 0 and n per spatial axis -> (B, 8co)
+    planes = {}
+    for ax in (1, 2, 3):
+        for idx in (0, n):
+            planes[(ax, idx)] = _sums(
+                lax.index_in_dim(y, idx, ax, keepdims=False), (1, 2)
+            )
+    # edges: two axes pinned -> (B, 8co)
+    edges = {}
+    for ax1, ax2 in ((1, 2), (1, 3), (2, 3)):
+        for i1 in (0, n):
+            for i2 in (0, n):
+                t = lax.index_in_dim(y, i1, ax1, keepdims=False)
+                t = lax.index_in_dim(t, i2, ax2 - 1, keepdims=False)
+                edges[(ax1, i1, ax2, i2)] = _sums(t, (1,))
+    # corners -> (B, 8co)
+    corners = {}
+    for iz in (0, n):
+        for iy in (0, n):
+            for ix in (0, n):
+                t = y[:, iz, iy, ix, :]
+                corners[(iz, iy, ix)] = (
+                    t.astype(f32), jnp.square(t.astype(f32))
+                )
+
+    s1 = jnp.zeros((B, co), f32)
+    s2 = jnp.zeros((B, co), f32)
+    from itertools import product as _product
+
+    for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
+        # excluded boundary index per axis: the end NOT covered
+        ez, ey, ex = (n if a == 0 else 0), (n if bb == 0 else 0), \
+            (n if c == 0 else 0)
+        sl = slice(q * co, (q + 1) * co)
+        for k, (full, pz, py, px, ezy, ezx, eyx, crn) in enumerate(
+            zip(
+                (s1f, s2f),
+                planes[(1, ez)], planes[(2, ey)], planes[(3, ex)],
+                edges[(1, ez, 2, ey)], edges[(1, ez, 3, ex)],
+                edges[(2, ey, 3, ex)], corners[(ez, ey, ex)],
+            )
+        ):
+            corr = (full - pz - py - px + ezy + ezx + eyx - crn)[:, sl]
+            if k == 0:
+                s1 = s1 + corr
+            else:
+                s2 = s2 + corr
+    return s1, s2
+
+
 def _pallas_gated_forward_tbm(xs, w_all, b_all, wgs, oh, eps=1e-5):
     """Phased block: conv (list partial sums) on the fast s2d emitter,
     then phase-slice stats + streamed finalize in batch-minor view."""
@@ -1205,14 +1329,12 @@ def _pallas_gated_forward_tbm(xs, w_all, b_all, wgs, oh, eps=1e-5):
         off += k
     # (B, n+1, n+1, n+1, 8co) -> bm view; bitcast under {4,0,3,2,1}
     y_bm = jnp.transpose(y, (1, 2, 3, 0, 4))
-    f32 = jnp.float32
-    slices, s1, s2 = [], 0.0, 0.0
-    for q, (a, bb, c) in enumerate(_product(range(2), repeat=3)):
-        sl = y_bm[a : a + n, bb : bb + n, c : c + n, :,
-                  q * co : (q + 1) * co]
-        slices.append(sl)
-        s1 = s1 + jnp.sum(sl, axis=(0, 1, 2), dtype=f32)
-        s2 = s2 + jnp.sum(jnp.square(sl.astype(f32)), axis=(0, 1, 2))
+    # phase-slice stats via inclusion-exclusion on the batch-MAJOR
+    # tensor: the full-tensor reductions fuse into the conv fusion
+    # itself, the corrections read only boundary planes (~5%) — vs
+    # the direct 8-slice reduction's separate full-tensor stats pass
+    # (~6 ms/batch at dc5/dc6, round-4 profile fusion.5/.13)
+    s1, s2 = phase_slice_stats_ie(y, co)
     nvox = 8 * n * n * n
     mean = s1 / nvox  # (B, Co) per ORIGINAL channel (phases share)
     var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
@@ -1221,7 +1343,12 @@ def _pallas_gated_forward_tbm(xs, w_all, b_all, wgs, oh, eps=1e-5):
     shift8 = jnp.tile(mean * scale, (1, 8))
     out = phased_finalize_bm(y_bm, scale8, shift8, wgs, oh)
     if out is None:
-        yg = jnp.concatenate(slices, axis=-1)
+        yg = jnp.concatenate(
+            [y_bm[a : a + n, bb : bb + n, c : c + n, :,
+                  q * co : (q + 1) * co]
+             for q, (a, bb, c) in enumerate(_product(range(2), repeat=3))],
+            axis=-1,
+        )
         out = gated_norm_finalize_bm(yg, scale8, shift8, wgs, oh)
     if out is None:
         return _xla_gated_composition(tuple(xs), w_all, b_all, wgs, oh)

@@ -37,6 +37,7 @@ import os
 from functools import lru_cache
 from itertools import product
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -166,17 +167,54 @@ def se_gate_s2d(x: jnp.ndarray, w_se: jnp.ndarray) -> jnp.ndarray:
     return se_gate_s2d_pre(x, wg, onehot)
 
 
-def max_pool_s2d(x: jnp.ndarray) -> jnp.ndarray:
-    """MaxPool3d(2,2) of the underlying image: max over sub-positions.
-    (B, n, n, n, 8C) -> (B, n, n, n, C) — as a maximum tree over the 8
-    per-position channel slices (one fused elementwise pass, no 6-D
-    relayout)."""
+def _max_pool_s2d_fwd_tree(x: jnp.ndarray) -> jnp.ndarray:
     *lead, c8 = x.shape
     c = c8 // 8
     out = x[..., :c]
     for p in range(1, 8):
         out = jnp.maximum(out, x[..., p * c : (p + 1) * c])
     return out
+
+
+@jax.custom_vjp
+def max_pool_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool3d(2,2) of the underlying image: max over sub-positions.
+    (B, n, n, n, 8C) -> (B, n, n, n, C) — as a maximum tree over the 8
+    per-position channel slices (one fused elementwise pass, no 6-D
+    relayout).
+
+    custom_vjp: the maximum tree's automatic backward materializes
+    per-pair select/mul temps in the thin (C-lane) shape, which the
+    (8,128) lane tiling pads 4-64x — they were both ~27 ms/step of
+    the 128^3 train backward and the HBM straw that OOM'd the
+    REMAT_SKIP_WHOLEBLOCK config (round-4 step profile + OOM dump).
+    The manual backward emits dx as ONE fat 8C-lane concat, with the
+    cotangent split EVENLY among tied maxima (exact ties are measure-
+    zero in the conv-activation inputs; jnp.maximum's chain rule would
+    split them 2^-depth per pair instead)."""
+    return _max_pool_s2d_fwd_tree(x)
+
+
+def _max_pool_s2d_vjp_fwd(x):
+    return _max_pool_s2d_fwd_tree(x), (x,)
+
+
+def _max_pool_s2d_vjp_bwd(res, g):
+    (x,) = res
+    c = x.shape[-1] // 8
+    out = _max_pool_s2d_fwd_tree(x)  # recompute: a few fused maxima
+    eq = [
+        (x[..., p * c : (p + 1) * c] == out).astype(g.dtype)
+        for p in range(8)
+    ]
+    cnt = eq[0]
+    for p in range(1, 8):
+        cnt = cnt + eq[p]
+    gs = g / cnt
+    return (jnp.concatenate([gs * e for e in eq], axis=-1),)
+
+
+max_pool_s2d.defvjp(_max_pool_s2d_vjp_fwd, _max_pool_s2d_vjp_bwd)
 
 
 def _pool_down(x, c8: int, spatial_slice):
@@ -238,9 +276,14 @@ def upsample_to_s2d(x: jnp.ndarray, scale: int, out_full: int | None = None,
     free of host-streamed constants (each costs a tunnel round-trip
     per execution on relayed TPU hosts)."""
     b, d, h, w, c = x.shape
-    if c >= 8 and os.environ.get("UP_SLABS", "0") == "1":
+    if c >= 8 and os.environ.get("UP_SLABS", "1") == "1":
         # per-parity slab emission: no 8-D parity axes, no packing
-        # reshape — see upsample_to_s2d_slabs
+        # reshape — see upsample_to_s2d_slabs. Default ON since round
+        # 4: the single-chain form's pack reshape materializes two
+        # 1.07 GB copies at the dc5-input shape (r4 fwd HLO,
+        # s2d.py:264/266) and the slab form measured 33.49 -> 34.07
+        # tiles/s (voltime A/B). UP_SLABS=0 keeps the single-chain
+        # form (bit-identical values either way).
         return upsample_to_s2d_slabs(x, scale, pair=pair)
     dtype = x.dtype
     # bf16 path: contract in bf16 (MXU accumulates f32) — the f32
@@ -301,68 +344,6 @@ def upsample_to_s2d_slabs(x: jnp.ndarray, scale: int, pair=None):
     return out.astype(dtype).reshape(b, n, n, n, 8 * c)
 
 
-def upsample_s2d_to_s2d_slabs(xs2d: jnp.ndarray, pair=None):
-    """Fused depth_to_space + 2x upsample_to_s2d, slab form: input an
-    s2d tensor (B, m, m, m, 8C) on the m-grid (image 2m), output the
-    s2d tensor (B, 2m, 2m, 2m, 8C) of its 2x align-corners trilinear
-    upsample (image 4m).
-
-    Equivalent to upsample_to_s2d(depth_to_space(x), 2) with the
-    depth_to_space 8-D shuffle never materialized: each interpolation
-    matrix is column-split by input parity and contracted against the
-    input's phase slices directly."""
-    b, m, _, _, c8 = xs2d.shape
-    c = c8 // 8
-    dtype = xs2d.dtype
-    ct = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
-    d = 2 * m
-    if pair is not None:
-        md = mh = mw = pair.astype(ct)
-    else:
-        md = mh = mw = jnp.asarray(_interp_pair(d, 2 * d), ct)
-    # column-split by input parity: full-grid index d = 2Z + s
-    mds = [md[:, :, s::2] for s in range(2)]  # (2, 2m, m) each
-    y = xs2d.astype(ct)
-    # phase slices x[p] (b, m, m, m, c), p = sz*4 + sy*2 + sx
-    xp = [y[..., p * c:(p + 1) * c] for p in range(8)]
-    # contract Z: za[a][(sy,sx)] (b, 2m, m, m, c)
-    za = {}
-    for a in range(2):
-        for sy in range(2):
-            for sx in range(2):
-                acc = None
-                for sz in range(2):
-                    t = jnp.einsum("DZ,bZyxc->bDyxc", mds[sz][a],
-                                   xp[sz * 4 + sy * 2 + sx], precision=HP)
-                    acc = t if acc is None else acc + t
-                za[a, sy, sx] = acc
-    # contract Y: zae[a,e][sx] (b, 2m, 2m, m, c)
-    zae = {}
-    for a in range(2):
-        for e in range(2):
-            for sx in range(2):
-                acc = None
-                for sy in range(2):
-                    t = jnp.einsum("HY,bDYxc->bDHxc", mds[sy][e],
-                                   za[a, sy, sx], precision=HP)
-                    acc = t if acc is None else acc + t
-                zae[a, e, sx] = acc
-    # contract X: slabs (b, 2m, 2m, 2m, c)
-    slabs = []
-    for a in range(2):
-        for e in range(2):
-            for f in range(2):
-                acc = None
-                for sx in range(2):
-                    t = jnp.einsum("WX,bDHXc->bDHWc", mds[sx][f],
-                                   zae[a, e, sx], precision=HP)
-                    acc = t if acc is None else acc + t
-                slabs.append(acc)
-    out = jnp.concatenate(slabs, axis=-1)
-    return out.astype(dtype)
-
-
-@lru_cache(maxsize=None)
 def _phase_lift_tensor(a: int, b: int, c: int) -> np.ndarray:
     """Mq[sz',sy',sx', p_in, dz,dy,dx] in {0,1} for output sub-position
     (a,b,c): which original tap each of the 2^3 block taps x 8 input

@@ -131,6 +131,7 @@ def test_remat_skip_wholeblock_grads_match(monkeypatch):
         en, de = apply_fast(p, x, cfg=cfg, fast_params=fp)
         return jnp.sum(jnp.square(en)) + jnp.sum(jnp.square(de))
 
+    monkeypatch.setenv("REMAT_SKIP_WHOLEBLOCK", "0")
     g0 = jax.grad(loss)(params)
     monkeypatch.setenv("REMAT_SKIP_WHOLEBLOCK", "1")
     g1 = jax.grad(loss)(params)
@@ -183,20 +184,3 @@ def test_dil2_pp_route_matches():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_ec12_phased_routing_matches():
-    """ec12_phased=True (lift-free phased ec1/ec2) equals the default
-    dense-lift routing, in both layouts, with prepared fast params."""
-    from se_unet_airseg_tpu.models.se_unet import prepare_fast_params
-
-    cfg0 = SEUNetConfig(ec12_phased=False)
-    params = init_params(jax.random.key(20), cfg0)
-    x = jax.random.normal(jax.random.key(21), (2, 16, 16, 16, 2), jnp.float32)
-    en0, de0 = apply_fast(params, x, cfg=cfg0)
-    for bm in (False, True):
-        cfg1 = SEUNetConfig(ec12_phased=True, batch_minor=bm)
-        fp = jax.jit(lambda p: prepare_fast_params(p, cfg1, n=8))(params)
-        en1, de1 = apply_fast(params, x, cfg=cfg1, fast_params=fp)
-        np.testing.assert_allclose(np.asarray(en1), np.asarray(en0),
-                                   rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(de1), np.asarray(de0),
-                                   rtol=1e-5, atol=1e-6)

@@ -480,3 +480,26 @@ def test_tbm_phased_epilogue_grads_match():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_phase_slice_stats_ie_matches_direct():
+    """Inclusion-exclusion boundary-corrected phase-slice stats equal
+    the direct 8-slice reductions (up to f32 reassociation)."""
+    from itertools import product
+
+    from se_unet_airseg_tpu.ops.pallas_s2d import phase_slice_stats_ie
+
+    r = np.random.default_rng(0)
+    B, n, co = 3, 6, 5
+    m = n + 1
+    y = jnp.asarray(r.standard_normal((B, m, m, m, 8 * co)), jnp.float32)
+    s1r = np.zeros((B, co), np.float64)
+    s2r = np.zeros((B, co), np.float64)
+    yn = np.asarray(y, np.float64)
+    for q, (a, b, c) in enumerate(product(range(2), repeat=3)):
+        sl = yn[:, a : a + n, b : b + n, c : c + n, q * co : (q + 1) * co]
+        s1r += sl.sum(axis=(1, 2, 3))
+        s2r += (sl**2).sum(axis=(1, 2, 3))
+    s1, s2 = phase_slice_stats_ie(y, co)
+    np.testing.assert_allclose(np.asarray(s1), s1r, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), s2r, rtol=1e-4, atol=1e-3)

@@ -151,56 +151,13 @@ def test_instance_norm_s2d_one_pass_precision():
     np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2e-2)
 
 
-def test_upsample_to_s2d_slabs_matches():
-    """The per-parity slab emission is bit-compatible with the
-    single-chain upsample_to_s2d (same matrix rows contracted in the
-    same order)."""
-    from se_unet_airseg_tpu.ops.s2d import upsample_to_s2d_slabs
+def test_max_pool_s2d_custom_vjp_grads():
+    """max_pool_s2d's manual backward (one fat 8C-lane concat) equals
+    the maximum-tree chain rule on tie-free inputs."""
+    from se_unet_airseg_tpu.ops.s2d import _max_pool_s2d_fwd_tree
 
-    for scale, m in [(2, 8), (4, 4)]:
-        x = _rand(2, m, m, m, 8, seed=21 + scale)
-        want = upsample_to_s2d(x, scale)
-        got = upsample_to_s2d_slabs(x, scale)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6,
-            err_msg=f"scale {scale}",
-        )
-
-
-def test_upsample_s2d_to_s2d_slabs_matches():
-    """Fused depth_to_space + 2x upsample (slab form) equals the
-    explicit composition upsample_to_s2d(depth_to_space(x), 2)."""
-    from se_unet_airseg_tpu.ops.s2d import (
-        depth_to_space,
-        upsample_s2d_to_s2d_slabs,
-    )
-
-    xs2d = _rand(2, 4, 4, 4, 16, seed=31)  # m=4 grid, 2 orig channels
-    want = upsample_to_s2d(depth_to_space(xs2d), 2)
-    got = upsample_s2d_to_s2d_slabs(xs2d)
-    assert got.shape == want.shape
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
-    )
-
-
-def test_model_up_fold_d2s_matches_default(monkeypatch):
-    """apply_fast with UP_FOLD_D2S=1 (fused d2s+upsample at decoder
-    level 1) equals the default fast path."""
-    import jax
-
-    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
-    from se_unet_airseg_tpu.models.se_unet import apply_fast
-
-    cfg = SEUNetConfig()
-    params = init_params(jax.random.key(0), cfg)
-    x = jnp.asarray(
-        np.random.default_rng(5).random((1, 16, 16, 16, 2), np.float32)
-    )
-    a = apply_fast(params, x, cfg=cfg, train=False)
-    monkeypatch.setenv("UP_FOLD_D2S", "1")
-    b = apply_fast(params, x, cfg=cfg, train=False)
-    for ya, yb in zip(a, b):
-        np.testing.assert_allclose(
-            np.asarray(ya), np.asarray(yb), atol=2e-5, rtol=1e-4
-        )
+    x = _rand(2, 8, 8, 8, 24, seed=40)
+    g0 = jax.grad(lambda t: jnp.sum(jnp.sin(_max_pool_s2d_fwd_tree(t))))(x)
+    g1 = jax.grad(lambda t: jnp.sum(jnp.sin(max_pool_s2d(t))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-6, atol=1e-7)

@@ -68,11 +68,17 @@ def parse_xplane(logdir, iters=3, top=40):
                 per_op[name] += ev.duration_ps
     # async copy-start/done spans cover the compute they overlap —
     # summing them double-counts; report them separately, not in the
-    # busy total or the ranking
-    async_ps = sum(ps for n, ps in per_op.items()
-                   if "copy-start" in n or "copy-done" in n)
+    # busy total or the ranking. Match the DEFINED op (lhs of " = ")
+    # only: matching the whole text also caught every fusion with a
+    # %copy-done operand and silently halved the busy total (r4 bug —
+    # it made the train step look 50% wait-bound when the timeline is
+    # actually gapless compute).
+    def _is_async_copy(n):
+        lhs = n.split(" = ")[0]
+        return "copy-start" in lhs or "copy-done" in lhs
+    async_ps = sum(ps for n, ps in per_op.items() if _is_async_copy(n))
     for name in list(per_op):
-        if "copy-start" in name or "copy-done" in name:
+        if _is_async_copy(name):
             del per_op[name]
     for name, ps in per_op.items():
         cat = categorize(name)
