@@ -410,12 +410,23 @@ def prepare_fast_params(params: Params, cfg: SEUNetConfig,
     # _sse_block_s2d_dil2)
     from ..ops.s2d import dil2_dense_weight
 
+    # per-shape partial-dense group counts (loop-slope A/Bs, see
+    # ops.s2d.dil2_group_weight): ng groups of 8/ng phases, block-diag
+    # dense within each group — the measured sweet spot per block
+    from ..ops.s2d import dil2_group_weight
+
+    _dil2_ng = {"ec3": 2, "ec5": 2, "ec6": 4}
     for name, gates in (("ec3", 1), ("ec5", 2), ("ec6", 2)):
         w = p[name]["conv"]["w"]
         fp[name] = {
-            # block-diagonal dense kernel: narrow blocks use it under
-            # XLA; ALL blocks use it in the fused bm Pallas kernel
+            # block-diagonal dense kernel: the train path and the
+            # fused bm Pallas kernel use it; eval uses the partial-
+            # dense grouped kernel below
             "wdense": dil2_dense_weight(w, dt),
+            # ng is recovered from the static kernel shape at the use
+            # site (ints in the pytree would become traced leaves
+            # under a jitted prepare_fast_params)
+            "wgroup": dil2_group_weight(w, _dil2_ng[name], dt),
             "bg": jnp.tile(p[name]["conv"]["b"], 8),
             # raw dense kernel + per-gate (Co,1) SE kernels for the
             # polyphase-batch route (mode "pp")
@@ -505,7 +516,8 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
 def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                         n_gates: int = 1, use_pallas: bool = False,
                         pre=None, mode: str = "grouped",
-                        use_epi: bool = False, bm: bool = False):
+                        use_epi: bool = False, bm: bool = False,
+                        train: bool = False):
     """SSEConv with dilation 2 on an s2d tensor: a dil-2 conv on the
     full grid is exactly 8 independent dil-1 convs on the sub-grids.
 
@@ -589,12 +601,24 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         # conv-input copy, round-4 profile), and the grouped autodiff
         # dgrad/wgrad in training inherit the pathological emitter
         # (11.6 ms each at B=2) — dense everywhere, always.
-        if pre is not None and "wdense" in pre:
-            wd, bg = pre["wdense"], pre["bg"]
+        if (not train and not bm and pre is not None
+                and "wgroup" in pre):
+            # eval: partial-dense grouped kernel — (8/ng)x lift
+            # instead of 8x (ops.s2d.dil2_group_weight A/Bs: ec3 -18%,
+            # ec5 -51%, ec6 -60% conv time). Train keeps the fully
+            # dense form: its autodiff dgrad/wgrad stay on the dense
+            # emitter (the grouped emitters' backward was the round-4
+            # step profile's worst offender).
+            wg_p, bg = pre["wgroup"], pre["bg"]
+            ng = (8 * w.shape[3]) // wg_p.shape[3]
+            y = conv3d(x, wg_p, bg, padding=1, groups=ng)
         else:
-            wd = dil2_dense_weight(w, x.dtype)
-            bg = jnp.tile(p["conv"]["b"], 8)
-        y = conv3d(x, wd, bg, padding=1, batch_minor=bm)
+            if pre is not None and "wdense" in pre:
+                wd, bg = pre["wdense"], pre["bg"]
+            else:
+                wd = dil2_dense_weight(w, x.dtype)
+                bg = jnp.tile(p["conv"]["b"], 8)
+            y = conv3d(x, wd, bg, padding=1, batch_minor=bm)
         if use_epi and pre is not None and "epi_wgs" in pre:
             from ..ops.pallas_s2d import pick_gated_norm_block
 
@@ -1016,7 +1040,8 @@ def apply_fast(
                            use_epi=epi, bm=bm)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
                                   use_pallas=upl_dil2, pre=fp["ec3"],
-                                  mode=d2m["ec3"], use_epi=epi, bm=bm)
+                                  mode=d2m["ec3"], use_epi=epi, bm=bm,
+                                  train=train)
     f0, f1, f2 = e0, e1, e1_1  # head features
     e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], pre=fp["ec33"],
                         use_epi=epi, bm=bm)
@@ -1034,10 +1059,12 @@ def apply_fast(
                                    use_epi=epi, bm=bm)
     e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2,
                                  use_pallas=upl_dil2, pre=fp["ec5"],
-                                 mode=d2m["ec5"], use_epi=epi, bm=bm)
+                                 mode=d2m["ec5"], use_epi=epi, bm=bm,
+                                 train=train)
     e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2,
                                    use_pallas=upl_dil2, pre=fp["ec6"],
-                                   mode=d2m["ec6"], use_epi=epi, bm=bm)
+                                   mode=d2m["ec6"], use_epi=epi, bm=bm,
+                                   train=train)
     f3, f4, f5 = e2s, e3s, e3_1s
     e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], pre=fp["ec63"],
                          use_epi=epi, bm=bm)

@@ -137,6 +137,24 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x.astype(jnp.float32) * scale8 - shift8).astype(x.dtype)
 
 
+def dil2_group_weight(w: jnp.ndarray, ng: int, dtype) -> jnp.ndarray:
+    """Partial-dense lift of a dil-2 kernel for a groups=ng conv: ng
+    groups of 8/ng sub-positions, block-diagonal dense WITHIN each
+    group — (3,3,3,Ci,Co) -> (3,3,3,(8/ng)Ci, 8Co), group g's output
+    slice holding that group's dense block. Lift (8/ng)x instead of
+    the full dense 8x; groups stay 128-lane aligned when
+    (8/ng)*Ci >= 128. Loop-slope A/Bs (v5e, per 8-tile batch):
+    ec3 ng=2 15.6 vs dense 19.0 ms; ec5 ng=2 2.4 vs 4.9; ec6 ng=4
+    3.8 vs 9.6."""
+    ci, co = w.shape[3], w.shape[4]
+    per = 8 // ng
+    wd = dil2_dense_weight(w, dtype)  # (3,3,3,8ci,8co) block-diagonal
+    return jnp.concatenate(
+        [wd[:, :, :, g * per * ci : (g + 1) * per * ci,
+            g * per * co : (g + 1) * per * co]
+         for g in range(ng)], axis=4)
+
+
 def se_gate_weights(w_se: jnp.ndarray, dtype):
     """Precompute the (wg, onehot) pair consumed by se_gate_s2d_pre.
     `w_se` is the reference (Ci, 1) kernel (no bias)."""

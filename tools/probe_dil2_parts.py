@@ -116,6 +116,26 @@ def main():
             timeit("conv_grouped",
                    lambda t, wg, bg: conv3d(t, wg, bg, padding=1, groups=8,
                                             batch_minor=True), x, wg, bg)
+        for ng in (2, 4):
+            if f"g{ng}" not in variants:
+                continue
+            # partial-dense: ng groups of 8/ng phases, block-diagonal
+            # dense WITHIN each group — lift (8/ng)x instead of the
+            # full dense 8x, groups stay 128-lane-aligned when
+            # (8/ng)*ci >= 128
+            per = 8 // ng
+            import numpy as _np
+            wnp = _np.asarray(wd, _np.float32)  # (3,3,3,8ci,8co)
+            wg_n = _np.zeros((3, 3, 3, per * ci, c8o), _np.float32)
+            for g in range(ng):
+                wg_n[:, :, :, :, g * per * co:(g + 1) * per * co] = (
+                    wnp[:, :, :, g * per * ci:(g + 1) * per * ci,
+                        g * per * co:(g + 1) * per * co])
+            wgn = jnp.asarray(wg_n, jnp.bfloat16)
+            timeit(f"conv_g{ng}",
+                   lambda t, wgn, bg, _ng=ng: conv3d(
+                       t, wgn, bg, padding=1, groups=_ng,
+                       batch_minor=True), x, wgn, bg)
         if "pp" in variants:
             # polyphase-batch core: phases ride batch, conv is dense
             # (B*8, n, n, n, ci) -> co; includes the relayouts the pp
