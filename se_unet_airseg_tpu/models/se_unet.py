@@ -516,8 +516,7 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
 def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
                         n_gates: int = 1, use_pallas: bool = False,
                         pre=None, mode: str = "grouped",
-                        use_epi: bool = False, bm: bool = False,
-                        train: bool = False):
+                        use_epi: bool = False, bm: bool = False):
     """SSEConv with dilation 2 on an s2d tensor: a dil-2 conv on the
     full grid is exactly 8 independent dil-1 convs on the sub-grids.
 
@@ -601,14 +600,14 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         # conv-input copy, round-4 profile), and the grouped autodiff
         # dgrad/wgrad in training inherit the pathological emitter
         # (11.6 ms each at B=2) — dense everywhere, always.
-        if (not train and not bm and pre is not None
-                and "wgroup" in pre):
-            # eval: partial-dense grouped kernel — (8/ng)x lift
-            # instead of 8x (ops.s2d.dil2_group_weight A/Bs: ec3 -18%,
-            # ec5 -51%, ec6 -60% conv time). Train keeps the fully
-            # dense form: its autodiff dgrad/wgrad stay on the dense
-            # emitter (the grouped emitters' backward was the round-4
-            # step profile's worst offender).
+        if not bm and pre is not None and "wgroup" in pre:
+            # partial-dense grouped kernel — (8/ng)x lift instead of
+            # 8x (ops.s2d.dil2_group_weight A/Bs: conv ec3 -18%,
+            # ec5 -51%, ec6 -60%; fwd+bwd grad probes win too:
+            # 56.9->45.1 / 14.1->7.5 / 28.9->11.4 ms — the ng=2/4
+            # group emitters keep >=64-lane groups, unlike the
+            # pathological groups=8 one). Train uses it through the
+            # in-trace differentiable weight lift.
             wg_p, bg = pre["wgroup"], pre["bg"]
             ng = (8 * w.shape[3]) // wg_p.shape[3]
             y = conv3d(x, wg_p, bg, padding=1, groups=ng)
@@ -1040,8 +1039,7 @@ def apply_fast(
                            use_epi=epi, bm=bm)
     e1_1, _ = _sse_block_s2d_dil2(p["ec3"], e1, want_side=False,
                                   use_pallas=upl_dil2, pre=fp["ec3"],
-                                  mode=d2m["ec3"], use_epi=epi, bm=bm,
-                                  train=train)
+                                  mode=d2m["ec3"], use_epi=epi, bm=bm)
     f0, f1, f2 = e0, e1, e1_1  # head features
     e1 = _cat_block_s2d(p["ec33"], [e1_1, e0, e1], pre=fp["ec33"],
                         use_epi=epi, bm=bm)
@@ -1059,12 +1057,10 @@ def apply_fast(
                                    use_epi=epi, bm=bm)
     e3s, _ = _sse_block_s2d_dil2(p["ec5"], e2s, want_side=False, n_gates=2,
                                  use_pallas=upl_dil2, pre=fp["ec5"],
-                                 mode=d2m["ec5"], use_epi=epi, bm=bm,
-                                 train=train)
+                                 mode=d2m["ec5"], use_epi=epi, bm=bm)
     e3_1s, _ = _sse_block_s2d_dil2(p["ec6"], e3s, want_side=False, n_gates=2,
                                    use_pallas=upl_dil2, pre=fp["ec6"],
-                                   mode=d2m["ec6"], use_epi=epi, bm=bm,
-                                   train=train)
+                                   mode=d2m["ec6"], use_epi=epi, bm=bm)
     f3, f4, f5 = e2s, e3s, e3_1s
     e3s = _cat_block_s2d(p["ec63"], [e3_1s, e2s, e3s], pre=fp["ec63"],
                          use_epi=epi, bm=bm)

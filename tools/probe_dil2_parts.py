@@ -149,6 +149,30 @@ def main():
                 y = jnp.moveaxis(y, 1, 4).reshape(B, n, n, n, c8o)
                 return jnp.transpose(y, (1, 2, 3, 0, 4))
             timeit("conv_pp", pp, x, w, b)
+        for ng in (1, 2, 4):
+            if f"grad{ng}" not in variants:
+                continue
+            # fwd+bwd of the conv alone (dense ng=1 vs partial-dense):
+            # measures the grouped dgrad/wgrad emitters the train step
+            # would inherit
+            if ng == 1:
+                wv = wd
+            else:
+                from se_unet_airseg_tpu.ops.s2d import dil2_group_weight
+                wv = dil2_group_weight(w, ng, jnp.bfloat16)
+
+            def gradfn(t, wv, bg, _ng=ng):
+                def loss(t_, w_):
+                    y = conv3d(t_, w_, bg, padding=1,
+                               groups=(_ng if _ng > 1 else 1),
+                               batch_minor=True)
+                    return jnp.sum(y.astype(jnp.float32) * 1e-6)
+                l, (gt, gw) = jax.value_and_grad(
+                    loss, argnums=(0, 1))(t, wv)
+                return (l + jnp.sum(gt, dtype=jnp.float32) * 1e-20
+                        + jnp.sum(gw, dtype=jnp.float32) * 1e-20)
+            import jax
+            timeit(f"grad_g{ng}", gradfn, x, wv, bg)
         if "pallas" in variants:
             timeit("pallas_cs",
                    lambda t, wd, bg: dil2_conv_stats_bm(t, wd, bg),
