@@ -98,25 +98,33 @@ def parse_xplane(logdir, iters=3, top=40):
 
 
 def categorize(name: str) -> str:
+    # Classify by the RESULT name (lhs) — operand names routinely
+    # contain copy.N / transpose.N and classifying on the whole line
+    # binned conv fusions with a copied operand as copy/layout
+    # (round-4: the "55% copy" forward was really conv-at-peak).
     n = name.lower()
-    if "conv" in n and "fusion" not in n:
+    lhs = n.split(" = ")[0]
+    if "conv" in lhs and "fusion" not in lhs:
         return "convolution"
-    if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
+    if "conv_general_dilated" in n and "fusion" in lhs:
+        # conv fusion identified via its op_name metadata
+        return "convolution(fusion)"
+    if "copy" in lhs:
         return "copy/layout"
-    if "transpose" in n and "fusion" not in n:
+    if "transpose" in lhs and "fusion" not in lhs:
         return "transpose"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
+    if "all-reduce" in lhs or "all-gather" in lhs or "collective" in lhs:
         return "collective"
-    if "dynamic-update-slice" in n or "dynamic-slice" in n:
+    if "dynamic-update-slice" in lhs or "dynamic-slice" in lhs:
         return "dynamic-slice"
-    if "reduce" in n:
+    if "reduce" in lhs:
         return "reduce"
-    if "fusion" in n:
-        m = re.match(r"%?(loop_|input_|output_)?fusion", n)
+    if "fusion" in lhs:
+        m = re.match(r"%?(loop_|input_|output_)?fusion", lhs)
         return "fusion(elementwise/mixed)" if m else "fusion(other)"
-    if "convert" in n:
+    if "convert" in lhs:
         return "convert"
-    if "infeed" in n or "outfeed" in n:
+    if "infeed" in lhs or "outfeed" in lhs:
         return "infeed/outfeed"
     return "other"
 
