@@ -159,7 +159,8 @@ def bench_inference():
     vol_dev = jnp.asarray(vols[0])
     pos_np = pad_positions_to_batch(tile_positions(shape), runner.batch)
     pos_dev = jnp.asarray(pos_np)
-    vol_fn = runner._volume_fn(shape, len(pos_np) // runner.batch)
+    vol_fn = runner._volume_fn(shape, len(pos_np) // runner.batch,
+                               s2d_io=runner._s2d_io_ok(shape, pos_np))
     rng_dev = jax.random.key(0)
     shift = jnp.float32(-1024.0)
     dev_times = []
@@ -205,10 +206,16 @@ def bench_inference():
     # needs most of HBM, and the runner's params/fast_params/volume
     # buffers OOM'd it in-process (round 4).
     del pred, vol_dev, pos_dev, vol_fn, fetched, runner, dispatch, fetch
-    try:
-        out.update(_train_step_metrics())
-    except Exception as e:  # train metric must never sink the headline
-        out["train_error"] = f"{type(e).__name__}: {e}"[:120]
+    for attempt in (1, 2):
+        # one retry: the relay's remote_compile sporadically 500s
+        # (tpu_compile_helper subprocess crash) and a retry hits the
+        # persistent cache or a fresh helper
+        try:
+            out.update(_train_step_metrics())
+            out.pop("train_error", None)
+            break
+        except Exception as e:  # train metric must never sink the headline
+            out["train_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(out))
 
 

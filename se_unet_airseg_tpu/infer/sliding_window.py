@@ -224,6 +224,28 @@ class SlidingWindowRunner:
             self.fast_params = self._prepare(params)
         return self
 
+    def _s2d_io_ok(self, padded_shape, pos: np.ndarray) -> bool:
+        """The s2d-resident volume route (fold the volume to
+        (D/2, H/2, W/2*8) once, gather/window/forward/accumulate in
+        s2d layout, unfold once per volume) needs even extents and
+        even tile positions. Reference tiling clamps the last window
+        to dim-cube (reference data.py:731-773), so odd volumes fall
+        back to the per-tile-relayout route — values are identical
+        either way (tests assert it)."""
+        import os
+
+        if os.environ.get("SW_S2D", "1") != "1":
+            return False
+        if not self.fast or self.mesh is not None:
+            return False
+        if os.environ.get("FASTPATH_BM", "0") == "1":
+            return False
+        if self.cfg.n_classes != 1 or self.cube % 2:
+            return False
+        if any(int(d) % 2 for d in padded_shape):
+            return False
+        return not (np.asarray(pos) % 2).any()
+
     def _step_fn_logic(self):
         cube, batch = self.cube, self.batch
         cfg, head_idx, use_sigmoid = self.cfg, self.head_idx, self.use_sigmoid
@@ -264,6 +286,53 @@ class SlidingWindowRunner:
                 pos = positions[i]
                 idx = (pos[0], pos[1], pos[2])
                 cur = jax.lax.dynamic_slice(pred, idx, (cube, cube, cube))
+                return jax.lax.dynamic_update_slice(pred, cur + p[i], idx)
+
+            return jax.lax.fori_loop(0, batch, body, pred)
+
+        return step
+
+    def _step_fn_logic_s2d(self):
+        """Tile-batch step against the s2d-FOLDED volume
+        (D/2, H/2, (W/2)*8): gather+window feed the model's s2d entry
+        directly and the s2d heads accumulate without the per-batch
+        full-res depth_to_space (round-4 profile: the exit d2s copies
+        and the entry relayout cost ~9 ms of a 239 ms batch)."""
+        cube, batch = self.cube, self.batch
+        cfg, head_idx, use_sigmoid = self.cfg, self.head_idx, self.use_sigmoid
+        train_mode, apply_fn = self.train_mode, self.apply_fn
+        n = cube // 2
+
+        def step(params, fp, vol_s2d, pred, positions, rng, shift):
+            def gather(pos):
+                return jax.lax.dynamic_slice(
+                    vol_s2d,
+                    (pos[0] // 2, pos[1] // 2, (pos[2] // 2) * 8),
+                    (n, n, n * 8),
+                )
+
+            raw = jax.vmap(gather)(positions)  # (B, n, n, n*8) int16/f32
+            raw = raw.reshape(batch, n, n, n, 8)
+            # (B,n,n,n,8,2) -> (…,16): phase-major lanes q*2+ch, the
+            # space_to_depth entry order — a contiguous minor merge
+            tiles = hu_dual_window(raw.astype(jnp.float32) + shift)
+            tiles = tiles.reshape(batch, n, n, n, 16)
+            outs = apply_fn(
+                params, tiles, cfg=cfg, train=train_mode,
+                rng=rng if train_mode else None, fast_params=fp,
+                x_is_s2d=True, heads_s2d=True,
+            )
+            # s2d head: (B,n,n,n,8*n_classes); n_classes==1 is gated
+            # by _s2d_io_ok, so the 8 lanes ARE the d2s cells
+            p = outs[head_idx].astype(jnp.float32)
+            if use_sigmoid:
+                p = jax.nn.sigmoid(p)
+            p = p.reshape(batch, n, n, n * 8)
+
+            def body(i, pred):
+                pos = positions[i]
+                idx = (pos[0] // 2, pos[1] // 2, (pos[2] // 2) * 8)
+                cur = jax.lax.dynamic_slice(pred, idx, (n, n, n * 8))
                 return jax.lax.dynamic_update_slice(pred, cur + p[i], idx)
 
             return jax.lax.fori_loop(0, batch, body, pred)
@@ -324,27 +393,55 @@ class SlidingWindowRunner:
         return (t[:, 0] + 3 * t[:, 1] + 9 * t[:, 2] + 27 * t[:, 3]
                 + 81 * t[:, 4])
 
-    def _volume_fn(self, padded_shape: tuple, n_batches: int):
+    def _volume_fn(self, padded_shape: tuple, n_batches: int,
+                   s2d_io: bool = False):
         """One jitted program for the WHOLE volume: fori_loop over tile
         batches (raw-tile gather -> per-tile windowing -> forward ->
         overlap scatter-add). Returns the probability SUM volume; the
-        overlap average divides by the per-shape count constant."""
-        key = (padded_shape, n_batches)
+        overlap average divides by the per-shape count constant.
+
+        `s2d_io`: fold the volume to s2d layout once, run the whole
+        loop in s2d (see _step_fn_logic_s2d), unfold the SUM volume
+        once at the end — the returned contract is unchanged."""
+        key = (padded_shape, n_batches, s2d_io)
         fn = self._volume_fns.get(key)
         if fn is not None:
             return fn
-        step = self._step_fn_logic()
         batch = self.batch
 
-        def run_all(params, fp, vol_hu, positions, rng, shift):
-            pred = jnp.zeros(padded_shape, jnp.float32)
+        if s2d_io:
+            step = self._step_fn_logic_s2d()
+            d, h, w = padded_shape
+            d2, h2, w2 = d // 2, h // 2, w // 2
 
-            def body(i, pred):
-                pb = jax.lax.dynamic_slice_in_dim(positions, i * batch, batch)
-                return step(params, fp, vol_hu, pred, pb,
-                            jax.random.fold_in(rng, i), shift)
+            def run_all(params, fp, vol_hu, positions, rng, shift):
+                v = vol_hu.reshape(d2, 2, h2, 2, w2, 2)
+                v = v.transpose(0, 2, 4, 1, 3, 5).reshape(d2, h2, w2 * 8)
+                pred = jnp.zeros((d2, h2, w2 * 8), jnp.float32)
 
-            return jax.lax.fori_loop(0, n_batches, body, pred)
+                def body(i, pred):
+                    pb = jax.lax.dynamic_slice_in_dim(
+                        positions, i * batch, batch)
+                    return step(params, fp, v, pred, pb,
+                                jax.random.fold_in(rng, i), shift)
+
+                pred = jax.lax.fori_loop(0, n_batches, body, pred)
+                # one per-volume unfold back to voxel order
+                pred = pred.reshape(d2, h2, w2, 2, 2, 2)
+                return pred.transpose(0, 3, 1, 4, 2, 5).reshape(d, h, w)
+        else:
+            step = self._step_fn_logic()
+
+            def run_all(params, fp, vol_hu, positions, rng, shift):
+                pred = jnp.zeros(padded_shape, jnp.float32)
+
+                def body(i, pred):
+                    pb = jax.lax.dynamic_slice_in_dim(
+                        positions, i * batch, batch)
+                    return step(params, fp, vol_hu, pred, pb,
+                                jax.random.fold_in(rng, i), shift)
+
+                return jax.lax.fori_loop(0, n_batches, body, pred)
 
         fn = jax.jit(run_all)
         self._volume_fns[key] = fn
@@ -385,7 +482,10 @@ class SlidingWindowRunner:
         if rng is None:
             rng = jax.random.key(0)
         n_batches = len(pos) // self.batch
-        run_all = self._volume_fn(tuple(vol_np.shape), n_batches)
+        run_all = self._volume_fn(
+            tuple(vol_np.shape), n_batches,
+            s2d_io=self._s2d_io_ok(vol_np.shape, pos),
+        )
         inv_cnt = self._inv_count(tuple(vol_np.shape), pos)
         pred = run_all(
             self.params, self.fast_params, jnp.asarray(vol_np),

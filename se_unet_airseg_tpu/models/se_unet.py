@@ -765,7 +765,7 @@ def _s2d_cat(*tensors):
 
 
 def _composed_head(metas, head_p, key, threshold: float, train: bool,
-                   interp=None, bm: bool = False):
+                   interp=None, bm: bool = False, s2d_out: bool = False):
     """Deep-supervision head WITHOUT materializing side outputs.
 
     The reference head is conv1x1(DropLayer(cat(upsample(side_i)))):
@@ -869,6 +869,12 @@ def _composed_head(metas, head_p, key, threshold: float, train: bool,
         pair = interp.get((m, m * sc)) if interp else None
         up = up_s2d(acc.astype(jnp.float32), sc, pair=pair)
         total = up if total is None else total + up
+    if s2d_out:
+        # caller keeps the head in s2d layout (sliding-window engine:
+        # the per-batch full-res depth_to_space relayout moves to one
+        # per-volume unfold) — bias broadcasts over the 8 cell lanes
+        bshape = (1, 1, 1, -1, 1) if bm else (-1, 1, 1, 1, 1)
+        return total + bias.reshape(bshape)
     # total is (B,n,n,n,8) == (..., 8*1): d2s yields (B,2n,2n,2n,1)
     pred = depth_to_space_exit_bm(total) if bm else depth_to_space(total)
     return pred + bias.reshape(-1, 1, 1, 1, 1)
@@ -907,10 +913,20 @@ def apply_fast(
     train: bool = False,
     rng: jax.Array | None = None,
     fast_params: Params | None = None,
+    x_is_s2d: bool = False,
+    heads_s2d: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """TPU-optimized forward; same contract as `apply`.
 
     Requires D, H, W divisible by 8 (as does `apply`).
+
+    `x_is_s2d`: the input is already the s2d entry tensor
+    (B, D/2, H/2, W/2, 8*C) with phase-major lanes — the sliding-window
+    engine gathers tiles from an s2d-resident volume, skipping the
+    per-batch entry relayout. `heads_s2d`: return both heads in s2d
+    layout (B, D/2, H/2, W/2, 8*n_classes) instead of full-res voxel
+    layout (the engine accumulates overlaps in s2d and unfolds once
+    per volume). Both are engine knobs; neither changes values.
 
     `fast_params`: the prepare_fast_params(params, cfg) pytree. Pass it
     (precomputed once, device-resident) on inference hot paths; when
@@ -1027,7 +1043,12 @@ def apply_fast(
         _cat_block = globals()["_cat_block"]
 
     # ---- encoder level 1 (s2d) ----
-    xs = s2d_entry_bm(x) if bm else space_to_depth(x)  # (…, 16)
+    if x_is_s2d:
+        if bm:
+            raise ValueError("x_is_s2d requires the non-bm fast path")
+        xs = x  # caller already produced the (…, 16) entry tensor
+    else:
+        xs = s2d_entry_bm(x) if bm else space_to_depth(x)  # (…, 16)
     # ec1/ec2 use the block-lifted dense 3^3 kernel: the lift's 8x
     # structural-zero FLOPs are negligible at Ci<=16 and the phased
     # (lift-free) alternative measurably lost in round 2
@@ -1154,7 +1175,7 @@ def apply_fast(
         (f16, p["dc5"], "s2d", 1), (f17, p["dc6"], "s2d", 1),
     ]
     pred_en = _composed_head(metas_en, p["head_en"], k_en, cfg.drop_threshold,
-                             train, interp=interp, bm=bm)
+                             train, interp=interp, bm=bm, s2d_out=heads_s2d)
     pred_de = _composed_head(metas_de, p["head_de"], k_de, cfg.drop_threshold,
-                             train, interp=interp, bm=bm)
+                             train, interp=interp, bm=bm, s2d_out=heads_s2d)
     return pred_en.astype(jnp.float32), pred_de.astype(jnp.float32)

@@ -83,6 +83,44 @@ def test_engine_bm_kernels_match_default():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_engine_s2d_io_route_matches_legacy(monkeypatch):
+    """The s2d-resident volume route (fold volume once, gather/window/
+    forward/accumulate in s2d layout, unfold once) equals the per-tile
+    relayout route bit-for-bit on an even-extent volume, and actually
+    engages (route eligibility asserted, not assumed)."""
+    cube, step = 32, 16
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(0), cfg)
+    vol = (np.random.default_rng(7).random((64, 48, 64)) * 1400.0
+           - 1000.0).astype(np.float32)
+
+    monkeypatch.setenv("SW_S2D", "0")
+    legacy = SlidingWindowRunner(params, cfg, cube=cube, step=step,
+                                 batch=2).predict_hu(vol)
+    monkeypatch.setenv("SW_S2D", "1")
+    r = SlidingWindowRunner(params, cfg, cube=cube, step=step, batch=2)
+    pos = tile_positions(vol.shape, cube, step)
+    assert r._s2d_io_ok(vol.shape, pos)
+    got = r.predict_hu(vol)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(legacy),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_engine_s2d_io_skips_odd_volumes(monkeypatch):
+    """Odd extents / odd clamped positions keep the legacy route (the
+    reference's clamped tiling yields odd positions there)."""
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(0), cfg)
+    monkeypatch.setenv("SW_S2D", "1")
+    r = SlidingWindowRunner(params, cfg, cube=32, step=16, batch=2)
+    pos = tile_positions((48, 40, 33), 32, 16)
+    assert not r._s2d_io_ok((48, 40, 33), pos)
+    vol = (np.random.default_rng(5).random((48, 40, 33)) * 1400.0
+           - 1000.0).astype(np.float32)
+    out = r.predict_hu(vol)
+    assert out.shape == vol.shape and np.isfinite(out).all()
+
+
 def test_trit_pack_roundtrip_and_density():
     """Base-3 5-voxel/byte packing: losslessly inverted by
     unpack_trits, and the packed payload is ceil(n/5) bytes (the

@@ -38,7 +38,9 @@ def main():
     pos_np = pad_positions_to_batch(tile_positions(shape), batch)
     pos = jnp.asarray(pos_np)
     n_b = len(pos_np) // batch
-    fn = r._volume_fn(shape, n_b)
+    s2d_io = r._s2d_io_ok(shape, pos_np)
+    print(f"route: s2d_io={s2d_io}")
+    fn = r._volume_fn(shape, n_b, s2d_io=s2d_io)
     rng = jax.random.key(0)
     shift = jnp.float32(-1024.0)
 
