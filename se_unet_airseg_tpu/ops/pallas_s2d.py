@@ -719,6 +719,8 @@ def _gn_fwd(y, wgs, oh):
 
 def _gn_bwd(res, ct):
     y, wgs, oh = res
+    if manbwd_enabled():
+        return _gated_core_bwd(y, wgs, oh, ct, bm=False)
     _, vjp = jax.vjp(_xla_gated_norm_composition, y, wgs, oh)
     return vjp(ct)
 
@@ -898,6 +900,8 @@ def _gated_fwd(xs, w_all, b_all, wgs, oh):
 
 
 def _gated_bwd(res, ct):
+    if manbwd_enabled():
+        return _manual_phased_gated_bwd(res, ct)
     xs, w_all, b_all, wgs, oh = res
     _, vjp = jax.vjp(_xla_gated_composition, xs, w_all, b_all, wgs, oh)
     return vjp(ct)
@@ -1104,6 +1108,8 @@ def _gnbm_fwd(y, wgs, oh):
 
 def _gnbm_bwd(res, ct):
     y, wgs, oh = res
+    if manbwd_enabled():
+        return _gated_core_bwd(y, wgs, oh, ct, bm=True)
     _, vjp = jax.vjp(_xla_gated_norm_composition_bm, y, wgs, oh)
     return vjp(ct)
 
@@ -1368,6 +1374,8 @@ def _pgtbm_fwd(xs, w_all, b_all, wgs, oh):
 
 
 def _pgtbm_bwd(res, ct):
+    if manbwd_enabled():
+        return _manual_phased_gated_bwd(res, ct)
     xs, w_all, b_all, wgs, oh = res
     _, vjp = jax.vjp(_xla_gated_composition, xs, w_all, b_all, wgs, oh)
     return vjp(ct)
@@ -2105,3 +2113,198 @@ def dil2_gated_block_tbm(x, wd, bg, wgs, oh):
         jnp.transpose(x, (1, 2, 3, 0, 4)), wd, bg, wgs, oh
     )
     return jnp.transpose(e, (3, 0, 1, 2, 4))
+
+
+# ---------------- hand-written epilogue backwards ----------------
+#
+# The custom_vjp backwards above reuse jax.vjp of the XLA composition:
+# exact gradients, but the autodiff graph (a) re-reduces the forward
+# statistics off the PADDED per-phase conv slices, and (b) splits the
+# InstanceNorm backward into two separate full-tensor stats passes
+# whose kLoop fusions read thin Co-lane slices at offset 1 of the
+# (n+1)^3 tensor (~24% of HBM bandwidth each; the round-4 step profile
+# shows ~300 ms of such fusions at B=8 128^3 — fusion.105/.156 pairs
+# at 11.4 ms apiece). The manual backwards below produce the same
+# gradients with every full-tensor pass in the ALIGNED gathered
+# (…, 8Co) layout, both IN-backward sums emitted from one read, and
+# the conv's dgrad/wgrad (already MXU-speed-of-light under XLA) on
+# jax.vjp of the conv alone. EPI_MANBWD=0 restores the composition
+# backward (kept as the parity reference).
+#
+# Gradient notes:
+#  * `oh` is a constant one-hot built by se_gate_weights (s2d.py:164)
+#    — its cotangent never reaches a parameter — but it is returned
+#    exactly so the custom_vjp stays a drop-in for the composition.
+#  * The phased composition applies LeakyReLU to the f32 normalized
+#    value before the bf16 cast; the manual backward masks on the
+#    bf16-rounded value. The masks can differ only where |a| <
+#    bf16 eps * |y*scale|, where the gradient factor (1 vs 0.01)
+#    multiplies a ~0 value — below bf16 training noise.
+
+
+def manbwd_enabled() -> bool:
+    return os.environ.get("EPI_MANBWD", "1") == "1"
+
+
+def _gate_chain_bwd(e0, wgs, oh, ct, exact_doh=False):
+    """Exact backward of the SE gate chain e_{g+1} = e_g *
+    (sigmoid(e_g @ W_g) @ onehot) given the pre-gate tensor e0
+    (channel-minor, any leading layout). Returns (d_e0, d_wgs, d_oh).
+
+    `oh` is a constant one-hot in every production caller
+    (se_gate_weights, s2d.py:164) whose cotangent reaches no
+    parameter, so d_oh is zeros by default — computing it exactly
+    (exact_doh=True, the parity-test mode) forces the d*e_g product
+    to materialize, which tipped the B=8 128^3 train step 44 MB over
+    HBM."""
+    from .s2d import HP
+
+    dt = e0.dtype
+    n_gates = int(wgs.shape[0]) if wgs is not None else 0
+    if not n_gates:  # gate-free callers (cat blocks) pass wgs=oh=None
+        return ct.astype(dt), None, None if oh is None else jnp.zeros_like(oh)
+    oh8 = oh[:8].astype(dt)
+    es, gates = [e0], []
+    for g in range(n_gates):
+        gate = jax.nn.sigmoid(
+            jnp.einsum("...i,ip->...p", es[-1], wgs[g, :, :8].astype(dt),
+                       precision=HP))
+        gates.append(gate)
+        if g < n_gates - 1:
+            es.append(es[-1] * jnp.einsum("...p,pj->...j", gate, oh8,
+                                          precision=HP))
+    d = ct.astype(dt)
+    dws = [None] * n_gates
+    doh8 = jnp.zeros(oh8.shape, jnp.float32)
+    for g in reversed(range(n_gates)):
+        e_g, gate = es[g], gates[g]
+        prod = d * e_g
+        dgate = jnp.einsum("...j,pj->...p", prod, oh8, precision=HP)
+        if exact_doh:
+            doh8 = doh8 + jnp.einsum("...p,...j->pj", gate, prod,
+                                     precision=HP).astype(jnp.float32)
+        dlog = dgate * gate * (1 - gate)
+        dw = jnp.einsum("...i,...p->ip", e_g, dlog, precision=HP)
+        dws[g] = jnp.pad(dw, ((0, 0), (0, wgs.shape[2] - 8)))
+        d = d * jnp.einsum("...p,pj->...j", gate, oh8, precision=HP) \
+            + jnp.einsum("...p,ip->...i", dlog, wgs[g, :, :8].astype(dt),
+                         precision=HP)
+    doh = jnp.pad(doh8, ((0, oh.shape[0] - 8), (0, 0))).astype(oh.dtype)
+    return d, jnp.stack(dws).astype(wgs.dtype), doh
+
+
+def _core_bwd_from_a(a, sc8, wgs, oh, ct, *, bm, nvox, exact_doh):
+    """Post-normalize part of the gated-epilogue backward, given the
+    normalized pre-gate value a == yhat: gate chain backward, then the
+    IN+LeakyReLU backward with BOTH stats sums (Q = sum(da), R =
+    sum(da*yhat) per original channel) emitted from one fused read."""
+    f32 = jnp.float32
+    dt = a.dtype
+    sp = (0, 1, 2) if bm else (1, 2, 3)
+    b = a.shape[3 if bm else 0]
+    c = a.shape[-1] // 8
+
+    def bcast(t):  # (B, 8c) -> operand rank
+        return (t[None, None, None, :, :] if bm
+                else t[:, None, None, None, :])
+
+    from .norms import leaky_relu
+
+    d_e0, dwgs, doh = _gate_chain_bwd(leaky_relu(a), wgs, oh, ct,
+                                      exact_doh=exact_doh)
+    daf = d_e0.astype(f32) * jnp.where(a >= 0, f32(1.0), f32(0.01))
+    q_s = jnp.sum(daf, axis=sp)
+    r_s = jnp.sum(daf * a.astype(f32), axis=sp)
+    q = bcast(jnp.tile(jnp.sum(q_s.reshape(b, 8, c), 1), (1, 8)))
+    r = bcast(jnp.tile(jnp.sum(r_s.reshape(b, 8, c), 1), (1, 8)))
+    return (sc8 * (daf - (q + a.astype(f32) * r) / nvox)).astype(dt), \
+        dwgs, doh
+
+
+def _gated_core_bwd(y, wgs, oh, ct, *, bm, eps=1e-5, exact_doh=False):
+    """Backward of e = gates(leaky_relu(instance_norm_s2d(y))) on the
+    gathered fat tensor: one recompute pass for the pre-gate value,
+    one fused stats read for both IN-backward sums, one output pass."""
+    f32 = jnp.float32
+    dt = y.dtype
+    sp = (0, 1, 2) if bm else (1, 2, 3)
+    bax = 3 if bm else 0
+    c8 = y.shape[-1]
+    c = c8 // 8
+    b = y.shape[bax]
+    nvox = 8 * y.shape[sp[0]] * y.shape[sp[1]] * y.shape[sp[2]]
+
+    def bcast(t):  # (B, 8c) -> operand rank
+        return (t[None, None, None, :, :] if bm
+                else t[:, None, None, None, :])
+
+    s1 = jnp.sum(y, axis=sp, dtype=f32)
+    s2 = jnp.sum(jnp.square(y.astype(f32)), axis=sp)
+    mean = jnp.sum(s1.reshape(b, 8, c), 1) / nvox
+    ex2 = jnp.sum(s2.reshape(b, 8, c), 1) / nvox
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    sc8 = bcast(jnp.tile(scale, (1, 8)))
+    sh8 = bcast(jnp.tile(mean * scale, (1, 8)))
+    a = (y.astype(f32) * sc8 - sh8).astype(dt)  # == normalized yhat
+    return _core_bwd_from_a(a, sc8, wgs, oh, ct, bm=bm, nvox=nvox,
+                            exact_doh=exact_doh)
+
+
+def _manual_phased_gated_bwd(res, ct, exact_doh=False):
+    """Manual backward of phased_gated_block / _tbm: gather once into
+    the aligned fat layout, core IN+LReLU+gate backward there, then
+    scatter-pad the cotangent and jax.vjp of the conv alone."""
+    from itertools import product as _product
+
+    from .conv import conv3d
+
+    xs, w_all, b_all, wgs, oh = res
+    co = w_all.shape[-1] // 8
+    n = xs[0].shape[1]
+
+    def conv_part(xs_, w_, bias):
+        y = None
+        off = 0
+        for t in xs_:
+            k = t.shape[-1]
+            yt = conv3d(t, w_[:, :, :, off:off + k, :],
+                        bias if y is None else None, padding=1)
+            y = yt if y is None else y + yt
+            off += k
+        return y
+
+    f32 = jnp.float32
+    dt = xs[0].dtype
+    eps = 1e-5
+    y, conv_vjp = jax.vjp(conv_part, tuple(xs), w_all, b_all)
+    qs = list(_product(range(2), repeat=3))
+    # statistics off the padded conv output via inclusion-exclusion
+    # (one fused full reduce + boundary terms), and the normalized
+    # pre-gate value emitted per-slice INSIDE the gather concat — the
+    # gathered raw tensor never materializes, so y dies right here
+    # (a separately materialized yg put the B=8 128^3 step ~1 GB over
+    # HBM).
+    nvox = 8 * n * n * n
+    s1, s2 = phase_slice_stats_ie(y, co)
+    mean = s1 / nvox
+    var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    sc1 = scale[:, None, None, None, :]
+    sh1 = (mean * scale)[:, None, None, None, :]
+    a = jnp.concatenate(
+        [(y[:, az:az + n, bb:bb + n, cc:cc + n, q * co:(q + 1) * co]
+          .astype(f32) * sc1 - sh1).astype(dt)
+         for q, (az, bb, cc) in enumerate(qs)], axis=-1)
+    sc8 = jnp.tile(scale, (1, 8))[:, None, None, None, :]
+    dyg, dwgs, doh = _core_bwd_from_a(a, sc8, wgs, oh, ct, bm=False,
+                                      nvox=nvox, exact_doh=exact_doh)
+    # scatter = inverse of the phase gather (concat of per-phase pads;
+    # disjoint channel groups, shifted spatial offsets)
+    dy_pad = jnp.concatenate(
+        [jnp.pad(dyg[..., q * co:(q + 1) * co],
+                 ((0, 0), (az, 1 - az), (bb, 1 - bb), (cc, 1 - cc),
+                  (0, 0)))
+         for q, (az, bb, cc) in enumerate(qs)], axis=-1)
+    dxs, dw_all, db_all = conv_vjp(dy_pad)
+    return dxs, dw_all, db_all, dwgs, doh
