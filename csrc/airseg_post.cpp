@@ -538,4 +538,176 @@ extern "C" int64_t march_tets(const float* vol, int64_t d, int64_t h, int64_t w,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Morphology primitives matching scipy.ndimage defaults (SURVEY.md §2.9;
+// reference call sites preprocessing/util/weight_br). Face connectivity
+// (conn-1 structure) throughout — scipy's default for binary_fill_holes
+// and binary_dilation. 2-D callers pass d == 1 (the z direction then
+// simply contributes no neighbors).
+// ---------------------------------------------------------------------------
+
+extern "C" void fill_holes(const uint8_t* in, int64_t d, int64_t h, int64_t w,
+                           int seed_z, uint8_t* out) {
+  // out = in | (background not face-connected to the volume border):
+  // one BFS flood from every border background voxel, then invert.
+  // Equivalent to scipy.ndimage.binary_fill_holes(in) with the default
+  // conn-1 structure (reference preprocessing.py / util.py fill sites).
+  // 2-D callers pass d == 1 with seed_z == 0: a 2-D image has no
+  // z-border, so the z faces (== every voxel) must not seed the flood.
+  const int64_t hw = h * w;
+  const int64_t n = d * hw;
+  std::vector<uint8_t> reach(n, 0);
+  std::vector<int64_t> stack;
+  stack.reserve(static_cast<size_t>(2 * (hw + d * w + d * h)));
+  auto push = [&](int64_t idx) {
+    if (!in[idx] && !reach[idx]) { reach[idx] = 1; stack.push_back(idx); }
+  };
+  if (seed_z)
+    for (int64_t y = 0; y < h; y++)
+      for (int64_t x = 0; x < w; x++) {
+        push(y * w + x);
+        push((d - 1) * hw + y * w + x);
+      }
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t x = 0; x < w; x++) {
+      push(z * hw + x);
+      push(z * hw + (h - 1) * w + x);
+    }
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++) {
+      push(z * hw + y * w);
+      push(z * hw + y * w + (w - 1));
+    }
+  while (!stack.empty()) {
+    const int64_t idx = stack.back();
+    stack.pop_back();
+    const int64_t z = idx / hw, r = idx % hw, y = r / w, x = r % w;
+    if (z > 0) push(idx - hw);
+    if (z + 1 < d) push(idx + hw);
+    if (y > 0) push(idx - w);
+    if (y + 1 < h) push(idx + w);
+    if (x > 0) push(idx - 1);
+    if (x + 1 < w) push(idx + 1);
+  }
+  for (int64_t i = 0; i < n; i++) out[i] = in[i] || !reach[i];
+}
+
+extern "C" void binary_dilate6(const uint8_t* in, int64_t d, int64_t h,
+                               int64_t w, uint8_t* out) {
+  // One iteration of binary dilation with scipy's default conn-1
+  // (6-neighborhood cross) structure (reference weight_br.py:166).
+  const int64_t hw = h * w;
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++) {
+      const int64_t base = z * hw + y * w;
+      for (int64_t x = 0; x < w; x++) {
+        const int64_t idx = base + x;
+        uint8_t v = in[idx];
+        if (!v && z > 0) v = in[idx - hw];
+        if (!v && z + 1 < d) v = in[idx + hw];
+        if (!v && y > 0) v = in[idx - w];
+        if (!v && y + 1 < h) v = in[idx + w];
+        if (!v && x > 0) v = in[idx - 1];
+        if (!v && x + 1 < w) v = in[idx + 1];
+        out[idx] = v ? 1 : 0;
+      }
+    }
+}
+
+extern "C" void binary_erode6(const uint8_t* in, int64_t d, int64_t h,
+                              int64_t w, uint8_t* out) {
+  // One iteration of binary erosion, conn-1 structure, scipy's default
+  // border_value=0 (out-of-bounds counts as background, so border
+  // foreground erodes). With binary_dilate6 this composes scipy's
+  // binary_closing (reference ours_skel_parse.py:573).
+  const int64_t hw = h * w;
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++) {
+      const int64_t base = z * hw + y * w;
+      for (int64_t x = 0; x < w; x++) {
+        const int64_t idx = base + x;
+        uint8_t v = in[idx];
+        if (v) {
+          v = (z > 0 && in[idx - hw]) && (z + 1 < d && in[idx + hw]) &&
+              (y > 0 && in[idx - w]) && (y + 1 < h && in[idx + w]) &&
+              (x > 0 && in[idx - 1]) && (x + 1 < w && in[idx + 1]);
+        }
+        out[idx] = v;
+      }
+    }
+}
+
+extern "C" void label_bboxes(const int32_t* labels, int64_t d, int64_t h,
+                             int64_t w, int64_t num, int64_t* out) {
+  // Per-label bounding boxes in one raster pass, replacing
+  // scipy.ndimage.find_objects (reference atm22_skel_parse.py:120).
+  // out is (num, 6) int64 rows [z0, z1, y0, y1, x0, x1) half-open;
+  // labels that never occur get z0 == -1.
+  for (int64_t i = 0; i < num; i++) {
+    int64_t* r = out + i * 6;
+    r[0] = -1; r[1] = 0; r[2] = -1; r[3] = 0; r[4] = -1; r[5] = 0;
+  }
+  const int64_t hw = h * w;
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++) {
+      const int32_t* row = labels + z * hw + y * w;
+      for (int64_t x = 0; x < w; x++) {
+        const int32_t v = row[x];
+        if (v <= 0 || v > num) continue;
+        int64_t* r = out + (v - 1) * 6;
+        if (r[0] < 0) { r[0] = z; r[2] = y; r[4] = x; r[1] = z + 1; r[3] = y + 1; r[5] = x + 1; }
+        else {
+          if (z < r[0]) r[0] = z;
+          if (z + 1 > r[1]) r[1] = z + 1;
+          if (y < r[2]) r[2] = y;
+          if (y + 1 > r[3]) r[3] = y + 1;
+          if (x < r[4]) r[4] = x;
+          if (x + 1 > r[5]) r[5] = x + 1;
+        }
+      }
+    }
+}
+
+extern "C" void box_convolve27(const float* in, int64_t d, int64_t h,
+                               int64_t w, float* out) {
+  // 3x3x3 all-ones convolution with scipy ndimage.convolve's default
+  // 'reflect' boundary — for +-1 offsets reflect is edge-clamp
+  // (-1 -> 0, n -> n-1). Separable: three clamped 1-D box passes
+  // (reference weight_br.py:157 degree test on the skeleton).
+  const int64_t hw = h * w;
+  const int64_t n = d * hw;
+  std::vector<float> t1(n), t2(n);
+  // pass 1: along x
+  for (int64_t zy = 0; zy < d * h; zy++) {
+    const float* row = in + zy * w;
+    float* orow = t1.data() + zy * w;
+    for (int64_t x = 0; x < w; x++) {
+      const int64_t xm = x > 0 ? x - 1 : 0;
+      const int64_t xp = x + 1 < w ? x + 1 : w - 1;
+      orow[x] = row[xm] + row[x] + row[xp];
+    }
+  }
+  // pass 2: along y
+  for (int64_t z = 0; z < d; z++)
+    for (int64_t y = 0; y < h; y++) {
+      const int64_t ym = y > 0 ? y - 1 : 0;
+      const int64_t yp = y + 1 < h ? y + 1 : h - 1;
+      const float* a = t1.data() + z * hw + ym * w;
+      const float* b = t1.data() + z * hw + y * w;
+      const float* c = t1.data() + z * hw + yp * w;
+      float* orow = t2.data() + z * hw + y * w;
+      for (int64_t x = 0; x < w; x++) orow[x] = a[x] + b[x] + c[x];
+    }
+  // pass 3: along z
+  for (int64_t z = 0; z < d; z++) {
+    const int64_t zm = z > 0 ? z - 1 : 0;
+    const int64_t zp = z + 1 < d ? z + 1 : d - 1;
+    const float* a = t2.data() + zm * hw;
+    const float* b = t2.data() + z * hw;
+    const float* c = t2.data() + zp * hw;
+    float* orow = out + z * hw;
+    for (int64_t x = 0; x < hw; x++) orow[x] = a[x] + b[x] + c[x];
+  }
+}
+
 }  // extern "C"

@@ -1199,6 +1199,13 @@ def _pgbm_fwd(xs, w_all, b_all, wgs, oh):
 
 
 def _pgbm_bwd(res, ct):
+    # Deliberately NOT routed through _manual_phased_gated_bwd
+    # (EPI_MANBWD): that path assumes batch-major s2d xs, while this
+    # block's xs are batch-minor — the manual IN-backward's fused
+    # stats reductions are written against the batch-major axis order.
+    # The bm blocks are off the production train path (EPI_TBM wraps
+    # the batch-major kernels instead), so the exact XLA-composition
+    # vjp stays the backward here.
     xs, w_all, b_all, wgs, oh = res
     _, vjp = jax.vjp(_xla_phased_gated_composition_bm, xs, w_all, b_all,
                      wgs, oh)
@@ -2137,12 +2144,19 @@ def dil2_gated_block_tbm(x, wd, bg, wgs, oh):
 #    exactly so the custom_vjp stays a drop-in for the composition.
 #  * The phased composition applies LeakyReLU to the f32 normalized
 #    value before the bf16 cast; the manual backward masks on the
-#    bf16-rounded value. The masks can differ only where |a| <
-#    bf16 eps * |y*scale|, where the gradient factor (1 vs 0.01)
-#    multiplies a ~0 value — below bf16 training noise.
+#    bf16-rounded value. bf16 rounding is sign-preserving, so the two
+#    masks can only disagree where the f32 value underflows to -0.0
+#    (rounded to a signless zero read as non-negative) — the factor
+#    1-vs-0.01 then scales the cotangent of a subnormal-magnitude
+#    activation, below bf16 training noise.
 
 
 def manbwd_enabled() -> bool:
+    """EPI_MANBWD selects the manual epilogue backward. Read at TRACE
+    time like every EPI_* flag: set it before the first jit/grad trace
+    — flipping it after a train step is compiled has no effect (and
+    unlike the scheduling flags this one changes which backward
+    computes the gradients)."""
     return os.environ.get("EPI_MANBWD", "1") == "1"
 
 

@@ -157,7 +157,14 @@ def dil2_group_weight(w: jnp.ndarray, ng: int, dtype) -> jnp.ndarray:
 
 def se_gate_weights(w_se: jnp.ndarray, dtype):
     """Precompute the (wg, onehot) pair consumed by se_gate_s2d_pre.
-    `w_se` is the reference (Ci, 1) kernel (no bias)."""
+    `w_se` is the reference (Ci, 1) kernel (no bias).
+
+    INVARIANT the manual epilogue backward relies on: `onehot` is a
+    CONSTANT kron(I8, ones) expansion matrix, never derived from a
+    trainable parameter. pallas_s2d's EPI_MANBWD path returns a zero
+    cotangent for it (exact_doh=False) — correct only while this stays
+    constant; if a trainable gate-expansion is ever introduced, route
+    it through exact_doh=True or extend the manual backward."""
     ci = w_se.shape[0]
     eye = jnp.eye(8, dtype=dtype)
     wg = jnp.kron(eye, w_se.astype(dtype))  # (8Ci, 8)

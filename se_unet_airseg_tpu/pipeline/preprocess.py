@@ -32,12 +32,17 @@ import os
 from glob import glob
 
 import numpy as np
-from scipy import ndimage
 
 from ..io import read_nifti, write_nifti
-from ..post import connected_components, component_counts
+from ..post import connected_components, component_counts, fill_holes
 
-_STRUCT_2D_8 = np.ones((3, 3), bool)
+
+def _label_2d8(img2d: np.ndarray) -> tuple[np.ndarray, int]:
+    """8-connectivity 2-D labeling via the native 26-conn 3-D labeler
+    on a depth-1 volume (raster-order label ids, matching
+    scipy.ndimage.label with a ones((3,3)) structure)."""
+    labels, n = connected_components(img2d[None], 26)
+    return labels[0], n
 
 
 def load_canonical(path: str):
@@ -103,14 +108,14 @@ def lung_fields(array: np.ndarray, threshold: float) -> np.ndarray:
     above = array >= threshold
     z0, z1 = int(0.05 * shape[2]) - 1, int(0.95 * shape[2])
     for n in range(max(z0, 0), z1):
-        lab, nlab = ndimage.label(above[:, :, n], structure=_STRUCT_2D_8)
+        lab, nlab = _label_2d8(above[:, :, n])
         if nlab == 0:
             continue
         counts = np.bincount(lab.reshape(-1))
         counts[0] = 0
         body = lab == np.argmax(counts)
-        cavities = ndimage.binary_fill_holes(body) ^ body
-        lab2, nlab2 = ndimage.label(cavities, structure=_STRUCT_2D_8)
+        cavities = fill_holes(body).astype(bool) ^ body
+        lab2, nlab2 = _label_2d8(cavities)
         if nlab2 == 0:
             continue
         counts2 = np.bincount(lab2.reshape(-1))
@@ -150,7 +155,7 @@ def largest_cc_midslice_fallback(mask: np.ndarray,
         best[:, :, p].any() for p in probe_z if 0 <= p < z
     ):
         best = labels == order[1] + 1
-    return ndimage.binary_fill_holes(best).astype(np.uint8)
+    return fill_holes(best)
 
 
 def largest_cc_filled(mask: np.ndarray) -> np.ndarray:
@@ -160,7 +165,7 @@ def largest_cc_filled(mask: np.ndarray) -> np.ndarray:
         return np.zeros(mask.shape, np.uint8)
     counts = component_counts(labels, n)
     best = labels == int(np.argmax(counts)) + 1
-    return ndimage.binary_fill_holes(best).astype(np.uint8)
+    return fill_holes(best)
 
 
 def preprocess_ct_volume(data_path: str, prep_folder: str, mode: str = "prepro"):

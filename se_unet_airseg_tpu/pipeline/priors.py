@@ -25,15 +25,19 @@ from __future__ import annotations
 import os
 
 import numpy as np
-from scipy import ndimage
 
 from ..io import read_nifti, write_nifti
 from ..ops import lib_weight_map
-from ..post import connected_components, skeletonize_3d
+from ..post import (
+    binary_dilation,
+    box_convolve27,
+    connected_components,
+    edt_with_indices,
+    fill_holes,
+    skeletonize_3d,
+)
 from ..post.topology import airway_parse
 from ..data.splits import load_json_file
-
-_FULL3 = ndimage.generate_binary_structure(3, 3)
 
 
 def save_lib_weights(mask_dir: str, save_dir: str):
@@ -71,7 +75,7 @@ def save_skeletons_and_parses(
         v = read_nifti(os.path.join(mask_dir, f))
         label = (v.array > 0).astype(np.uint8)
         label = largest_component(label)
-        label = ndimage.binary_fill_holes(label).astype(np.uint8)
+        label = fill_holes(label)
         skel = skeletonize_3d(label)
         write_nifti(os.path.join(skel_dir, f), skel, v.spacing, v.origin)
         parse = airway_parse(label, merge_t=merge_t)
@@ -135,7 +139,7 @@ def save_weight_break(
 
         # hard-mining weight: propagate skeleton-FN to the full label
         # via nearest-skeleton indices, radius-normalized
-        edt, inds = ndimage.distance_transform_edt(1 - skeleton, return_indices=True)
+        edt, inds = edt_with_indices(1 - skeleton)
         hard_mining = fn_skel[inds[0], inds[1], inds[2]] * label
         loc = (hard_mining > 0).astype(np.uint8)
         f = loc * edt * (1.0 - skeleton)
@@ -157,19 +161,17 @@ def save_weight_break(
         # reference weight_br.py:153-163)
         cd, ncomp = connected_components(fn_skel.astype(np.uint8), 26)
         br_skel = np.zeros(cd.shape)
-        conv_sk = ndimage.convolve(
-            skeleton.astype(np.float32), _FULL3.astype(np.float32)
-        )
+        conv_sk = box_convolve27(skeleton)
         for i in range(1, ncomp + 1):
             t = (cd == i).astype(np.int8)
             if np.sum((conv_sk * t) == 2):
                 continue
             br_skel += t
         br_label = br_skel[inds[0], inds[1], inds[2]] * label
-        shell = ndimage.binary_dilation(br_label).astype(np.float32) - (
+        shell = binary_dilation(br_label).astype(np.float32) - (
             br_label > 0
         ).astype(np.float32)
-        edt2 = ndimage.distance_transform_edt(1 - shell)
+        edt2 = edt_with_indices(1 - shell, return_indices=False)
         w_br = br_label * edt2
         w_br[w_br >= 2] = 2
         lam = 0.7

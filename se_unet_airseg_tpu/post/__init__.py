@@ -5,6 +5,11 @@ from ._native import (
     dti,
     skeletonize_3d,
     edt_with_indices,
+    fill_holes,
+    binary_dilation,
+    binary_closing,
+    box_convolve27,
+    find_objects,
     native_available,
 )
 
@@ -15,6 +20,11 @@ __all__ = [
     "dti",
     "skeletonize_3d",
     "edt_with_indices",
+    "fill_holes",
+    "binary_dilation",
+    "binary_closing",
+    "box_convolve27",
+    "find_objects",
     "native_available",
 ]
 

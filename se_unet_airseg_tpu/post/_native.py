@@ -52,6 +52,20 @@ def _load():
     lib.skeletonize3d.argtypes = [u8p, i64, i64, i64]
     lib.edt_sq.restype = None
     lib.edt_sq.argtypes = [u8p, i64, i64, i64, f32p, ctypes.c_void_p]
+    for name in ("binary_dilate6", "binary_erode6"):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = None
+            fn.argtypes = [u8p, i64, i64, i64, u8p]
+    if hasattr(lib, "fill_holes"):
+        lib.fill_holes.restype = None
+        lib.fill_holes.argtypes = [u8p, i64, i64, i64, ctypes.c_int, u8p]
+    if hasattr(lib, "box_convolve27"):
+        lib.box_convolve27.restype = None
+        lib.box_convolve27.argtypes = [f32p, i64, i64, i64, f32p]
+    if hasattr(lib, "label_bboxes"):
+        lib.label_bboxes.restype = None
+        lib.label_bboxes.argtypes = [i32p, i64, i64, i64, i64, i64p]
     _lib = lib
     return lib
 
@@ -134,6 +148,91 @@ def skeletonize_3d(mask: np.ndarray) -> np.ndarray:
     img = np.ascontiguousarray(mask != 0).astype(np.uint8)
     lib.skeletonize3d(img, *img.shape)
     return img
+
+
+def fill_holes(mask: np.ndarray) -> np.ndarray:
+    """Fill interior holes (background not face-connected to the
+    border), matching scipy.ndimage.binary_fill_holes with the default
+    conn-1 structure. Accepts 2-D or 3-D input; returns uint8."""
+    m = np.ascontiguousarray(mask != 0).astype(np.uint8)
+    squeeze = m.ndim == 2
+    if squeeze:
+        m = m[None]
+    lib = _load()
+    if lib is not None and hasattr(lib, "fill_holes"):
+        out = np.empty_like(m)
+        lib.fill_holes(m, *m.shape, 0 if squeeze else 1, out)
+    else:
+        from scipy import ndimage
+
+        out = ndimage.binary_fill_holes(m).astype(np.uint8)
+    return out[0] if squeeze else out
+
+
+def binary_dilation(mask: np.ndarray) -> np.ndarray:
+    """One binary dilation with scipy's default conn-1 (6-neighborhood)
+    structure; 3-D uint8 out."""
+    m = np.ascontiguousarray(mask != 0).astype(np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "binary_dilate6"):
+        out = np.empty_like(m)
+        lib.binary_dilate6(m, *m.shape, out)
+        return out
+    from scipy import ndimage
+
+    return ndimage.binary_dilation(m).astype(np.uint8)
+
+
+def binary_closing(mask: np.ndarray) -> np.ndarray:
+    """Binary closing (dilation then erosion), scipy defaults: conn-1
+    structure, border_value=0 on both passes."""
+    m = np.ascontiguousarray(mask != 0).astype(np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "binary_erode6"):
+        tmp = np.empty_like(m)
+        lib.binary_dilate6(m, *m.shape, tmp)
+        out = np.empty_like(m)
+        lib.binary_erode6(tmp, *m.shape, out)
+        return out
+    from scipy import ndimage
+
+    return ndimage.binary_closing(m).astype(np.uint8)
+
+
+def find_objects(labels: np.ndarray, max_label: int):
+    """Per-label bounding-box slices, matching
+    scipy.ndimage.find_objects(labels, max_label) — None for labels
+    that never occur."""
+    lab = np.ascontiguousarray(labels, np.int32)
+    lib = _load()
+    if lib is None or not hasattr(lib, "label_bboxes"):
+        from scipy import ndimage
+
+        return ndimage.find_objects(lab, max_label=max_label)
+    out = np.zeros((max_label, 6), np.int64)
+    lib.label_bboxes(lab, *lab.shape, max_label, out)
+    return [
+        None if r[0] < 0 else (
+            slice(int(r[0]), int(r[1])),
+            slice(int(r[2]), int(r[3])),
+            slice(int(r[4]), int(r[5])),
+        )
+        for r in out
+    ]
+
+
+def box_convolve27(vol: np.ndarray) -> np.ndarray:
+    """3x3x3 all-ones convolution, reflect boundary — equivalent to
+    scipy.ndimage.convolve(vol, np.ones((3,3,3))) with mode='reflect'."""
+    v = np.ascontiguousarray(vol, np.float32)
+    lib = _load()
+    if lib is not None and hasattr(lib, "box_convolve27"):
+        out = np.empty_like(v)
+        lib.box_convolve27(v, *v.shape, out)
+        return out
+    from scipy import ndimage
+
+    return ndimage.convolve(v, np.ones((3, 3, 3), np.float32))
 
 
 def edt_with_indices(mask: np.ndarray, return_indices: bool = True):

@@ -18,13 +18,24 @@ branch.
 from __future__ import annotations
 
 import numpy as np
-from scipy import ndimage
 
-from ._native import edt_with_indices, skeletonize_3d
+from ._native import (
+    binary_dilation,
+    edt_with_indices,
+    fill_holes,
+    find_objects,
+    skeletonize_3d,
+)
 from . import connected_components, component_counts
 
-_FULL3 = ndimage.generate_binary_structure(3, 3)
-_CROSS3 = ndimage.generate_binary_structure(3, 1)
+
+def _label26(vol: np.ndarray) -> tuple[np.ndarray, int]:
+    """26-connectivity labeling (scipy ndimage.label with a full 3^3
+    structure) via the native union-find labeler — same raster
+    first-encounter label order, which the 298-branch CASE073 parity
+    depends on."""
+    labels, n = connected_components(vol, 26)
+    return labels.astype(np.int32), n
 
 
 def largest_component_6(mask: np.ndarray) -> np.ndarray:
@@ -49,7 +60,7 @@ def largest_component_6(mask: np.ndarray) -> np.ndarray:
     counts = component_counts(labels, n)
     best = labels == int(np.argmax(counts)) + 1
     out = np.zeros(mask.shape, np.uint8)
-    out[sl] = ndimage.binary_fill_holes(best)
+    out[sl] = fill_holes(best)
     return out
 
 
@@ -78,15 +89,15 @@ def skeleton_parsing(skeleton: np.ndarray):
     parse = sk.astype(np.float32)
     junc = coords[count > 3]  # count includes the center (reference conv)
     parse[junc[:, 0], junc[:, 1], junc[:, 2]] = 0
-    cd, num = ndimage.label(parse, structure=_FULL3)
+    cd, num = _label26(parse)
     counts = np.bincount(cd.reshape(-1))
     small = counts[1:] < 5
     if small.any():
         keep = np.ones(num + 1, parse.dtype)
         keep[1:][small] = 0
         parse *= keep[cd]
-    cd, num = ndimage.label(parse, structure=_FULL3)
-    return parse.astype(np.uint8), cd.astype(np.int32), int(num)
+    cd, num = _label26(parse)
+    return parse.astype(np.uint8), cd, int(num)
 
 
 def tree_parsing_func(skeleton_parse, label, cd):
@@ -105,7 +116,7 @@ def adjacent_map(parse: np.ndarray, num: int) -> np.ndarray:
     """Branch adjacency via boundary dilation, one find_objects scan
     (reference atm22_skel_parse.py:120-135)."""
     ad = np.zeros((num, num), np.uint8)
-    slices = ndimage.find_objects(parse.astype(np.int32), max_label=num)
+    slices = find_objects(parse.astype(np.int32), max_label=num)
     for i, sl in enumerate(slices):
         if sl is None:
             continue
@@ -116,7 +127,7 @@ def adjacent_map(parse: np.ndarray, num: int) -> np.ndarray:
         )
         local = parse[sl]
         cur = (local == i + 1).astype(np.uint8)
-        boundary = ndimage.binary_dilation(cur, structure=_CROSS3).astype(np.uint8) - cur
+        boundary = binary_dilation(cur) - cur
         touch = np.unique(local[boundary.astype(bool)])
         for j in touch:
             if j > 0:

@@ -38,9 +38,15 @@ from collections import deque
 from itertools import product
 
 import numpy as np
-from scipy import ndimage
 
-from ._native import edt_with_indices, skeletonize_3d
+from ._native import (
+    binary_closing,
+    binary_dilation,
+    connected_components,
+    edt_with_indices,
+    fill_holes,
+    skeletonize_3d,
+)
 from . import largest_component
 
 _NB26 = [
@@ -59,7 +65,6 @@ _NB26_REF = [
     (1, 0, -1), (1, 1, -1), (-1, -1, 1), (-1, 0, 1), (-1, 1, 1),
     (0, -1, 1), (0, 0, 1), (0, 1, 1), (1, -1, 1), (1, 0, 1), (1, 1, 1),
 ]
-_STRUCT2D = np.ones((3, 3), bool)
 
 
 @dataclasses.dataclass
@@ -430,7 +435,8 @@ def detect_order(mask: np.ndarray) -> int:
     cha = maxz - minz
 
     def largest2d(z):
-        lab, nl = ndimage.label(mask[:, :, z], structure=_STRUCT2D)
+        # 8-conn 2-D labeling == 26-conn 3-D on a depth-1 volume
+        lab, nl = connected_components(mask[:, :, z][None], 26)
         if nl == 0:
             return 0
         c = np.bincount(lab.reshape(-1))
@@ -474,8 +480,8 @@ class TopologyTree:
 
         sl = self._bbox()
         crop = self.label[sl]
-        vol = ndimage.binary_fill_holes(ndimage.binary_dilation(crop))
-        vol = ndimage.binary_closing(vol)
+        vol = fill_holes(binary_dilation(crop))
+        vol = binary_closing(vol)
         # maximum_3d semantics: largest CC with 2nd-largest mid-slice
         # fallback + fill holes (reference sub() calls maximum_3d,
         # ours_skel_parse.py:580 -> util.py:58-75). The reference

@@ -99,3 +99,56 @@ def test_dti_matches_python_fallback():
     a = dti(p, 0.5, 0.35)
     b = _dti_python(p, 0.5, 0.35)
     np.testing.assert_array_equal(a, b)
+
+
+def test_fill_holes_matches_scipy_2d_and_3d():
+    from se_unet_airseg_tpu.post import fill_holes
+
+    rng = np.random.default_rng(3)
+    m3 = (rng.random((18, 19, 20)) > 0.55).astype(np.uint8)
+    np.testing.assert_array_equal(
+        fill_holes(m3), ndimage.binary_fill_holes(m3).astype(np.uint8)
+    )
+    m2 = (rng.random((40, 41)) > 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(
+        fill_holes(m2), ndimage.binary_fill_holes(m2).astype(np.uint8)
+    )
+    # a hollow cube: the cavity fills, the outside stays empty
+    box = np.zeros((9, 9, 9), np.uint8)
+    box[2:7, 2:7, 2:7] = 1
+    box[3:6, 3:6, 3:6] = 0
+    assert fill_holes(box)[4, 4, 4] == 1 and fill_holes(box)[0, 0, 0] == 0
+
+
+def test_dilation_erosion_closing_match_scipy():
+    from se_unet_airseg_tpu.post import binary_closing, binary_dilation
+
+    rng = np.random.default_rng(4)
+    m = (rng.random((15, 16, 17)) > 0.7).astype(np.uint8)
+    np.testing.assert_array_equal(
+        binary_dilation(m), ndimage.binary_dilation(m).astype(np.uint8)
+    )
+    np.testing.assert_array_equal(
+        binary_closing(m), ndimage.binary_closing(m).astype(np.uint8)
+    )
+
+
+def test_box_convolve27_matches_scipy_reflect():
+    from se_unet_airseg_tpu.post import box_convolve27
+
+    rng = np.random.default_rng(5)
+    v = rng.random((9, 10, 11)).astype(np.float32)
+    ours = box_convolve27(v)
+    ref = ndimage.convolve(v, np.ones((3, 3, 3), np.float32))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_find_objects_matches_scipy():
+    from se_unet_airseg_tpu.post import find_objects
+
+    rng = np.random.default_rng(6)
+    lab = rng.integers(0, 6, (12, 13, 14)).astype(np.int32)
+    lab[lab == 3] = 0  # a label id with no voxels -> None entry
+    ours = find_objects(lab, max_label=7)
+    ref = ndimage.find_objects(lab, max_label=7)
+    assert ours == ref
