@@ -227,3 +227,112 @@ def make_train_step(
 
     sharded_step.place = place  # exposed for input pipelines
     return sharded_step
+
+
+def _looks_like_oom(e: Exception) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "Ran out of memory" in s or "Exceeded hbm capacity" in s)
+
+
+def _looks_like_remote_compile_500(e: Exception) -> bool:
+    """The tunneled compile service reports BOTH transient helper
+    crashes AND compile-time HBM overflows as
+    'INTERNAL: ...remote_compile: HTTP 500' — the OOM detail (<Ran out
+    of memory in memory space hbm>) only reaches the terminal log, not
+    the client exception (observed: the stage-2 128^3 B=8 step
+    exceeding HBM by 43.5M surfaced exactly this way)."""
+    s = f"{type(e).__name__}: {e}"
+    return "remote_compile" in s and "500" in s
+
+
+def make_resilient_step(
+    optimizer,
+    cfg: SEUNetConfig = SEUNetConfig(),
+    stage: int = 1,
+    mesh=None,
+    shard_space: bool = False,
+    fast: bool = True,
+    _make_step=None,
+):
+    """make_train_step plus an HBM-OOM fallback (VERDICT r4: one bad
+    allocation must not kill a 100-epoch run the framework knows how to
+    resume).
+
+    The production default (REMAT_SKIP_WHOLEBLOCK=1, bench.py) fits
+    B=8 at 128^3 with most of HBM in use; if the step ever raises
+    RESOURCE_EXHAUSTED — e.g. a live validation runner's whole-volume
+    buffers coexisting with a fragmented heap — the wrapper rebuilds
+    the step with FULL rematerialization (REMAT_SKIP_WHOLEBLOCK=0,
+    remat=True; ~5% slower, materially smaller live set), logs the
+    switch, and retries the same batch. The fallback engages at most
+    once per wrapper; a second OOM propagates.
+
+    Because the step donates the train state, an OOM raised after
+    donation may have consumed the caller's buffers — in that case the
+    wrapper raises a clear error telling the driver to auto-resume
+    from the last checkpoint (stages.py keeps one every epoch); the
+    rebuilt full-remat step is used from then on either way.
+
+    `_make_step` is an injection point for tests."""
+    import os as _os
+
+    make = _make_step or make_train_step
+    holder = {
+        "fn": make(optimizer, cfg, stage, mesh, shard_space, fast),
+        "fellback": False,
+    }
+
+    def _alive(tree) -> bool:
+        return all(
+            not (hasattr(leaf, "is_deleted") and leaf.is_deleted())
+            for leaf in jax.tree.leaves(tree)
+        )
+
+    def step(state, batch, rng):
+        try:
+            return holder["fn"](state, batch, rng)
+        except Exception as e:
+            if not holder["fellback"] and _looks_like_remote_compile_500(e):
+                # ambiguous: transient compile-helper crash OR a
+                # compile-time HBM overflow reported opaquely. One
+                # same-config retry settles it (a transient crash heals
+                # — the retry hits the persistent cache or a fresh
+                # helper; an overflow reproduces and falls through to
+                # the full-remat rebuild below).
+                print("[train] remote compile returned HTTP 500; "
+                      "retrying once before treating it as an HBM "
+                      "overflow", flush=True)
+                try:
+                    return holder["fn"](state, batch, rng)
+                except Exception as e2:
+                    e = e2
+            if holder["fellback"] or not (
+                _looks_like_oom(e) or _looks_like_remote_compile_500(e)
+            ):
+                raise
+            holder["fellback"] = True
+            print(
+                "[train] step hit RESOURCE_EXHAUSTED; rebuilding with "
+                "full rematerialization (REMAT_SKIP_WHOLEBLOCK=0) and "
+                "retrying",
+                flush=True,
+            )
+            _os.environ["REMAT_SKIP_WHOLEBLOCK"] = "0"
+            import dataclasses as _dc
+
+            holder["fn"] = make(
+                optimizer, _dc.replace(cfg, remat=True), stage, mesh,
+                shard_space, fast,
+            )
+            if not _alive(state):
+                raise RuntimeError(
+                    "train state was donated before the OOM surfaced; "
+                    "restart the stage driver — auto-resume will pick up "
+                    "the last epoch checkpoint and continue on the "
+                    "full-remat step"
+                ) from e
+            return holder["fn"](state, batch, rng)
+
+    step.fallback_active = lambda: holder["fellback"]
+    return step

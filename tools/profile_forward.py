@@ -229,14 +229,18 @@ def main():
         params = init_params(jax.random.key(0), cfg)
         opt, _ = make_optimizer()
         state = create_train_state(params, opt)
-        step = make_train_step(opt, cfg, stage=2)
+        stage = int(os.environ.get("STAGE", "1"))  # 1 = the bench step
+        step = make_train_step(opt, cfg, stage=stage)
         B = int(os.environ.get("PROF_B", "2"))
         rng = np.random.default_rng(0)
         batch = {
             "image": rng.random((B, 128, 128, 128, 2), np.float32),
             "label": (rng.random((B, 128, 128, 128)) > 0.7).astype(np.float32),
-            "weight": rng.random((B, 128, 128, 128)).astype(np.float32),
         }
+        if stage >= 2:
+            batch["weight"] = rng.random((B, 128, 128, 128)).astype(np.float32)
+        if stage >= 3:
+            batch["skel"] = batch["label"]
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         key = jax.random.key(1)
 
