@@ -140,9 +140,16 @@ def bench_inference():
     )
 
     def dispatch(vol):
-        return runner.predict_trits_summary_device(
+        t0 = time.perf_counter()
+        out = runner.predict_trits_summary_device(
             vol, h_thresh=0.5, l_thresh=0.35, hu_shift=-1024.0
         )
+        if os.environ.get("BENCH_DEBUG"):
+            print(f"  dispatch {time.perf_counter() - t0:.3f}s",
+                  file=sys.stderr)
+        return out
+
+    dbg = bool(os.environ.get("BENCH_DEBUG"))
 
     def fetch(out):
         """Block until the volume is done and pull everything the trit
@@ -152,11 +159,20 @@ def bench_inference():
         both routes are plain D2H copies of computed buffers, no device
         program at fetch time."""
         summary, chunks, payload, padded_shape, _ = out
+        t0 = time.perf_counter()
         s = np.asarray(summary, np.uint8)
+        t1 = time.perf_counter()
         mixed = np.flatnonzero((s >> 2) != (s & 3))
         need = np.unique(mixed // BLOCKS_PER_CHUNK)
         f = make_chunk_fetcher(s, chunks, payload)
-        return (s, {int(c): f(int(c)) for c in need}, padded_shape)
+        got = {int(c): f(int(c)) for c in need}
+        if dbg:
+            t2 = time.perf_counter()
+            nb = sum(a.nbytes for a in got.values())
+            print(f"  fetch: summary(wait) {t1-t0:.3f}s payload "
+                  f"{t2-t1:.3f}s ({len(need)} chunks, {nb/1e6:.1f} MB)",
+                  file=sys.stderr)
+        return (s, got, padded_shape)
 
     # warmup: compile (served from .jax_cache when present) + one
     # volume so the timed stream is pure steady state

@@ -26,6 +26,8 @@ Two score conventions, both in the reference:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,28 +105,37 @@ def decode_trit_summary(summary: np.ndarray, fetch_chunk, n_voxels: int,
     return out.reshape(-1)[:n_voxels].reshape(shape)
 
 
-# above this mixed-chunk fraction, fetch the whole payload in one D2H
-# copy instead of per-chunk copies: each copy costs a tunnel roundtrip
-# (~10-30 ms), so past a few dozen mixed chunks one large streamed
-# transfer (~33 MB/s measured) is strictly faster
-FULL_FETCH_FRAC = 0.25
+# cost model for the fetch-route choice: each D2H copy pays a tunnel
+# roundtrip (~10-30 ms) regardless of size; large copies stream at
+# ~33 MB/s. Overridable for other links via env.
+FETCH_RTT_S = float(os.environ.get("AIRSEG_FETCH_RTT_S", "0.014"))
+FETCH_BW = float(os.environ.get("AIRSEG_FETCH_BW", "33e6"))  # bytes/s
 
 
 def make_chunk_fetcher(summary_np: np.ndarray, chunks, payload=None,
-                       frac: float = FULL_FETCH_FRAC):
+                       frac: float | None = None):
     """Build the `fetch_chunk` callback for `decode_trit_summary`.
 
-    Few mixed chunks (real airway fields: all-0 background) -> fetch
-    only those chunks, KBs total. Many mixed chunks -> ONE whole-
-    payload copy, sliced locally. Both routes are plain D2H copies of
-    already-computed buffers (no device program at fetch time)."""
+    Route on estimated cost, not mixed-block FRACTION: n_need chunk
+    copies cost n_need roundtrips; the whole payload costs one
+    roundtrip plus bytes/bandwidth. (The round-4 fraction rule left a
+    0.6%-mixed 320^3 volume on the per-chunk route — 160 roundtrips,
+    2.2 s measured — where one 5.2 MB streamed copy takes ~0.17 s.)
+    Real airway fields stay on the chunk route: tens of mixed chunks,
+    KBs total. Both routes are plain D2H copies of already-computed
+    buffers (no device program at fetch time)."""
     if payload is not None:
         s = np.asarray(summary_np, np.uint8)
         mixed = np.flatnonzero((s >> 2) != (s & 3))
-        n_chunks = len(chunks)
-        if (n_chunks and
-                len(np.unique(mixed // BLOCKS_PER_CHUNK)) > frac * n_chunks):
-            p = np.asarray(payload).reshape(n_chunks, -1)
+        n_need = len(np.unique(mixed // BLOCKS_PER_CHUNK))
+        if frac is not None:  # legacy fraction override (tests)
+            take_whole = len(chunks) and n_need > frac * len(chunks)
+        else:
+            payload_bytes = int(np.prod(payload.shape))
+            take_whole = (n_need * FETCH_RTT_S
+                          > FETCH_RTT_S + payload_bytes / FETCH_BW)
+        if take_whole:
+            p = np.asarray(payload).reshape(len(chunks), -1)
             return lambda i: p[i]
     return lambda i: np.asarray(chunks[i])
 

@@ -445,7 +445,7 @@ def _epi_pick_tile(n: int, cout: int) -> tuple[int, int] | None:
 
 def _epilogue_kernel(tz, ty, n, co, n_gates, nz, ny, out_dtype,
                      y_hbm, scale_ref, shift_ref, wg_ref, oh_ref,
-                     out_ref, xs, acc_ref, sems):
+                     out_ref, xs, acc_ref, sems, relu=True):
     """Phase gather + InstanceNorm affine + LeakyReLU + SE gate(s) in
     one pass over the conv's extended (n+1)^3 output.
 
@@ -496,7 +496,11 @@ def _epilogue_kernel(tz, ty, n, co, n_gates, nz, ny, out_dtype,
         ]
     e = acc_ref[...].astype(jnp.float32)
     e = e * scale_ref[0, 0] - shift_ref[0, 0]
-    e = jnp.where(e >= 0, e, 0.01 * e).astype(out_dtype)  # torch default slope
+    if relu:
+        # torch default slope
+        e = jnp.where(e >= 0, e, 0.01 * e).astype(out_dtype)
+    else:
+        e = e.astype(out_dtype)
     for g in range(n_gates):
         logits = lax.dot_general(
             e, wg_ref[g], (((3,), (0,)), ((), ())),
@@ -572,6 +576,146 @@ def phased_finalize(y_ext, scale8, shift8, wgs, oh):
         wgs,
         oh,
     )
+
+
+def phased_normalize(y_ext, scale8, shift8):
+    """Phase gather + InstanceNorm affine ONLY (no LeakyReLU, no
+    gates): y_ext (B, n+1, n+1, xw, 8Co) -> normalized pre-activation
+    `a` (B, n, n, n, 8Co) in one haloed streaming pass.
+
+    Built for the manual phased backward (_manual_phased_gated_bwd):
+    XLA emits the same gather-normalize as 8 per-phase Co-lane
+    slice+convert fusions plus a concat (~50 ms of the round-5 B=8
+    128^3 step profile — thin 16/32-lane stores pad 4-8x); this is the
+    forward epilogue kernel with the nonlinearity and gate chain
+    compiled out. Returns None when no tile fits (caller falls back to
+    the XLA composition)."""
+    bsz = y_ext.shape[0]
+    n = y_ext.shape[1] - 1
+    xw = y_ext.shape[3]
+    cout = y_ext.shape[-1]
+    co = cout // 8
+    if xw % 8:
+        return None  # unaligned minor spatial dim: Mosaic DMA rejects
+    tile = _epi_pick_tile(n, cout)
+    if tile is None:
+        return None
+    tz, ty = tile
+    nz, ny = n // tz, n // ty
+    kernel = partial(_epilogue_kernel, tz, ty, n, co, 0, nz, ny,
+                     y_ext.dtype, relu=False)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nz, ny),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, cout), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, cout), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, 128), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, cout), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tz, ty, n, cout), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, n, n, cout), y_ext.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tz + 1, ty + 1, xw, cout), y_ext.dtype),
+            pltpu.VMEM((tz, ty, n, cout), y_ext.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * n * n * cout,
+            bytes_accessed=y_ext.size * 2 * 2,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(
+        y_ext,
+        jnp.tile(scale8[:, None, :], (1, 8, 1)),
+        jnp.tile(shift8[:, None, :], (1, 8, 1)),
+        jnp.zeros((1, cout, 128), y_ext.dtype),
+        jnp.zeros((128, cout), y_ext.dtype),
+    )
+
+
+def _pool_mask_kernel(c, x_ref, o_ref):
+    """dx/dg mask of max_pool_s2d in ONE VMEM-local pass: recompute
+    the 8-way maximum tree, emit M[p] = (x_p == max) / n_ties as the
+    fat 8C-lane tensor. The caller multiplies by the (lane-tiled)
+    upstream cotangent — XLA's emission of the same math splits into
+    several fusions that re-read x (~40 ms of the round-5 B=8 128^3
+    step at the level-1 pool pair vs ~3.5 ms speed-of-light)."""
+    # compare in f32: Mosaic has no bf16 cmpf on this target, and the
+    # f32 compare of bf16-rounded values is exact either way
+    x = x_ref[0].astype(jnp.float32)
+    out = x[..., :c]
+    for p in range(1, 8):
+        out = jnp.maximum(out, x[..., p * c : (p + 1) * c])
+    f32 = jnp.float32
+    cnt = (x[..., :c] == out).astype(f32)
+    for p in range(1, 8):
+        cnt = cnt + (x[..., p * c : (p + 1) * c] == out).astype(f32)
+    inv = 1.0 / cnt
+    for p in range(8):
+        eq = x[..., p * c : (p + 1) * c] == out
+        o_ref[0, :, :, :, p * c : (p + 1) * c] = jnp.where(
+            eq, inv, 0.0
+        ).astype(o_ref.dtype)
+
+
+def max_pool_s2d_bwd_mask(x):
+    """(B, n, n, n, 8C) -> M with dx = M * tile8(g); None when no tile
+    fits (caller falls back to the XLA composition)."""
+    if x.ndim != 5 or x.shape[-1] % 128:
+        return None
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    # Mosaic keeps the f32 cast of the block, the 8 compare/select
+    # temps and the double-buffered in/out blocks live together on the
+    # kernel stack (measured: a (8,8,64,256) bf16 block wanted 35.5M
+    # scoped VMEM) — budget ~16x the raw block bytes
+    budget = 9 * 1024 * 1024
+    tile = None
+    for tz in (8, 4, 2, 1):
+        for ty in (8, 4, 2, 1):
+            if d % tz or h % ty:
+                continue
+            if 16 * tz * ty * w * c8 * x.dtype.itemsize <= budget:
+                tile = (tz, ty)
+                break
+        if tile:
+            break
+    if tile is None:
+        return None
+    tz, ty = tile
+    return pl.pallas_call(
+        partial(_pool_mask_kernel, c),
+        grid=(b, d // tz, h // ty),
+        in_specs=[
+            pl.BlockSpec((1, tz, ty, w, c8), lambda i, j, k: (i, j, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tz, ty, w, c8), lambda i, j, k: (i, j, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        # reuse x's buffer for the mask: x (the pool residual) has its
+        # last use here, and a fresh 8C-lane mask allocation put the
+        # B=8 128^3 step 121 MB over HBM at compile time
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=16 * x.size,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(x)
 
 
 def _gathered_kernel(n_gates, out_dtype, y_ref, scale_ref, shift_ref,
@@ -2268,14 +2412,30 @@ def _gated_core_bwd(y, wgs, oh, ct, *, bm, eps=1e-5, exact_doh=False):
 def _manual_phased_gated_bwd(res, ct, exact_doh=False):
     """Manual backward of phased_gated_block / _tbm: gather once into
     the aligned fat layout, core IN+LReLU+gate backward there, then
-    scatter-pad the cotangent and jax.vjp of the conv alone."""
+    scatter-pad the cotangent and jax.vjp of the conv alone.
+
+    EPI_MANBWD_GATHER=pallas routes the gather-normalize producing `a`
+    through ONE Pallas haloed pass (phased_normalize) with the conv
+    replay x-padded to 8. MEASURED LOSS on the v5e (round 5): step
+    1018 vs 964 ms — the 8 per-phase slice+convert fusions it replaces
+    feed fused consumers the kernel route must rematerialize, and the
+    x-padded replay adds ~10% conv work. Default stays `xla`; the
+    kernel is kept as the record (trace-time flag, like every
+    EPI_*)."""
     from itertools import product as _product
 
     from .conv import conv3d
 
     xs, w_all, b_all, wgs, oh = res
-    co = w_all.shape[-1] // 8
+    cout = w_all.shape[-1]
+    co = cout // 8
     n = xs[0].shape[1]
+    use_pal = (os.environ.get("EPI_MANBWD_GATHER", "xla") == "pallas"
+               and n % 8 == 0 and _epi_pick_tile(n, cout) is not None)
+    # with the Pallas gather, replay the conv with the x-axis right-
+    # padded to 8 (exactly the forward's trick at _pallas_gated_forward)
+    # so the kernel's HBM DMA reads an aligned minor spatial dim
+    pad = ((1, 1), (1, 1), (1, 8)) if use_pal else 1
 
     def conv_part(xs_, w_, bias):
         y = None
@@ -2283,7 +2443,7 @@ def _manual_phased_gated_bwd(res, ct, exact_doh=False):
         for t in xs_:
             k = t.shape[-1]
             yt = conv3d(t, w_[:, :, :, off:off + k, :],
-                        bias if y is None else None, padding=1)
+                        bias if y is None else None, padding=pad)
             y = yt if y is None else y + yt
             off += k
         return y
@@ -2300,24 +2460,32 @@ def _manual_phased_gated_bwd(res, ct, exact_doh=False):
     # (a separately materialized yg put the B=8 128^3 step ~1 GB over
     # HBM).
     nvox = 8 * n * n * n
-    s1, s2 = phase_slice_stats_ie(y, co)
+    yb = y[:, :, :, : n + 1] if use_pal else y
+    s1, s2 = phase_slice_stats_ie(yb, co)
     mean = s1 / nvox
     var = jnp.maximum(s2 / nvox - jnp.square(mean), 0.0)
     scale = lax.rsqrt(var + eps)
-    sc1 = scale[:, None, None, None, :]
-    sh1 = (mean * scale)[:, None, None, None, :]
-    a = jnp.concatenate(
-        [(y[:, az:az + n, bb:bb + n, cc:cc + n, q * co:(q + 1) * co]
-          .astype(f32) * sc1 - sh1).astype(dt)
-         for q, (az, bb, cc) in enumerate(qs)], axis=-1)
+    a = None
+    if use_pal:
+        a = phased_normalize(y, jnp.tile(scale, (1, 8)),
+                             jnp.tile(mean * scale, (1, 8)))
+    if a is None:
+        sc1 = scale[:, None, None, None, :]
+        sh1 = (mean * scale)[:, None, None, None, :]
+        a = jnp.concatenate(
+            [(y[:, az:az + n, bb:bb + n, cc:cc + n, q * co:(q + 1) * co]
+              .astype(f32) * sc1 - sh1).astype(dt)
+             for q, (az, bb, cc) in enumerate(qs)], axis=-1)
     sc8 = jnp.tile(scale, (1, 8))[:, None, None, None, :]
     dyg, dwgs, doh = _core_bwd_from_a(a, sc8, wgs, oh, ct, bm=False,
                                       nvox=nvox, exact_doh=exact_doh)
     # scatter = inverse of the phase gather (concat of per-phase pads;
-    # disjoint channel groups, shifted spatial offsets)
+    # disjoint channel groups, shifted spatial offsets; x high-pad
+    # covers the alignment columns when the replay was x-padded)
+    xw = y.shape[3]
     dy_pad = jnp.concatenate(
         [jnp.pad(dyg[..., q * co:(q + 1) * co],
-                 ((0, 0), (az, 1 - az), (bb, 1 - bb), (cc, 1 - cc),
+                 ((0, 0), (az, 1 - az), (bb, 1 - bb), (cc, xw - n - cc),
                   (0, 0)))
          for q, (az, bb, cc) in enumerate(qs)], axis=-1)
     dxs, dw_all, db_all = conv_vjp(dy_pad)

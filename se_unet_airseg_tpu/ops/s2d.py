@@ -225,8 +225,28 @@ def _max_pool_s2d_vjp_fwd(x):
 
 
 def _max_pool_s2d_vjp_bwd(res, g):
+    """POOL_BWD selects the emission (trace-time, like EPI_*).
+    Round-5 B=8 128^3 A/Bs: the round-4 "concat" form is the ONLY one
+    that fits HBM — it stays the default despite its ~40 ms of split
+    fusions (the step runs within ~120 MB of the 15.75 G ceiling, so
+    every alternative's extra temp is fatal):
+      "concat" (default): 8 thin eq temps feeding one fat concat;
+      "fat": full-width where over lane-tiled broadcasts — XLA
+        MATERIALIZES the jnp.tile broadcasts as 1 GB HLO temps
+        (measured 17.01 G, OOM by 1.26 G);
+      "pallas": VMEM-local Pallas mask pass (max_pool_s2d_bwd_mask) —
+        the fat mask is a fresh 1.07 GB allocation the fused forms
+        never make (OOM by 121 M; input aliasing forced copies and
+        got worse, 246 M over). Kept for smaller-footprint configs."""
     (x,) = res
     c = x.shape[-1] // 8
+    mode = os.environ.get("POOL_BWD", "concat")
+    if mode == "pallas":
+        from .pallas_s2d import max_pool_s2d_bwd_mask
+
+        m = max_pool_s2d_bwd_mask(x)
+        if m is not None:
+            return (m * jnp.tile(g, (1,) * (g.ndim - 1) + (8,)),)
     out = _max_pool_s2d_fwd_tree(x)  # recompute: a few fused maxima
     eq = [
         (x[..., p * c : (p + 1) * c] == out).astype(g.dtype)
@@ -235,6 +255,14 @@ def _max_pool_s2d_vjp_bwd(res, g):
     cnt = eq[0]
     for p in range(1, 8):
         cnt = cnt + eq[p]
+    if mode != "concat":
+        # every operand of the final fusion is full 8C-lane width:
+        # the lane-tiled out/gs are broadcast reads XLA keeps inside
+        # the fusion, so x is read once and dx written once
+        reps = (1,) * (g.ndim - 1) + (8,)
+        gs8 = jnp.tile(g / cnt, reps)
+        return (jnp.where(x == jnp.tile(out, reps), gs8,
+                          jnp.zeros((), g.dtype)),)
     gs = g / cnt
     return (jnp.concatenate([gs * e for e in eq], axis=-1),)
 

@@ -84,6 +84,38 @@ def test_phased_gated_manual_bwd_matches_composition(n_splits):
                 err_msg=name)
 
 
+@pytest.mark.parametrize("gather", ["pallas", "xla"])
+def test_phased_manual_bwd_pallas_gather(monkeypatch, gather):
+    """The Pallas gather-normalize route of the manual backward
+    (EPI_MANBWD_GATHER=pallas, engaged when n%8==0 and a tile fits;
+    the conv replay switches to the x-padded-to-8 extent) must produce
+    the same gradients as the XLA composition."""
+    monkeypatch.setenv("EPI_MANBWD_GATHER", gather)
+    co, n, b, n_gates = 4, 8, 2, 2
+    dt = jnp.float32
+    key = jax.random.key(21)
+    xs = (jax.random.normal(jax.random.fold_in(key, 0),
+                            (b, n, n, n, 16), dt),)
+    w = jax.random.normal(jax.random.fold_in(key, 1),
+                          (3, 3, 3, 2, co), jnp.float32) * 0.3
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (co,), jnp.float32)
+    w_all, b_all = phased_conv_weights(w.astype(dt), bias.astype(dt), None)
+    wgs, oh = _gate_params(jax.random.fold_in(key, 3), co, n_gates, dt)
+    ct = jax.random.normal(jax.random.fold_in(key, 4),
+                           (b, n, n, n, 8 * co), dt)
+
+    _, vjp = jax.vjp(_xla_gated_composition, xs, w_all, b_all, wgs, oh)
+    ref = vjp(ct)
+    got = _manual_phased_gated_bwd((xs, w_all, b_all, wgs, oh), ct,
+                                   exact_doh=True)
+    for g, r, name in zip(got, ref, ("dxs", "dw_all", "db_all", "dwgs",
+                                     "doh")):
+        for ga, ra in zip(jax.tree.leaves(g), jax.tree.leaves(r)):
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(ra), rtol=3e-4, atol=3e-5,
+                err_msg=name)
+
+
 def test_model_grads_match_with_manual_bwd(monkeypatch):
     """apply_fast full-model gradients: EPI_MANBWD on vs off (both
     through the custom_vjp epilogue blocks on CPU)."""

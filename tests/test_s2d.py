@@ -1,5 +1,7 @@
 """Algebraic-exactness tests for the space-to-depth fast-path rewrites."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -161,3 +163,26 @@ def test_max_pool_s2d_custom_vjp_grads():
     g1 = jax.grad(lambda t: jnp.sum(jnp.sin(max_pool_s2d(t))))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_max_pool_s2d_bwd_modes_agree():
+    """All three POOL_BWD emissions of the pool backward (fat
+    broadcast-where, Pallas mask pass, round-4 concat) produce the
+    same cotangent, including on deliberate ties."""
+    from se_unet_airseg_tpu.ops.s2d import _max_pool_s2d_vjp_bwd
+
+    x = _rand(2, 8, 8, 8, 128, seed=41)
+    # quantize to force ties among sub-positions
+    x = jnp.round(x * 4) / 4
+    g = _rand(2, 8, 8, 8, 16, seed=42)
+    got = {}
+    try:
+        for mode in ("concat", "fat", "pallas"):
+            os.environ["POOL_BWD"] = mode
+            (got[mode],) = _max_pool_s2d_vjp_bwd((x,), g)
+    finally:
+        os.environ.pop("POOL_BWD", None)
+    for mode in ("fat", "pallas"):
+        np.testing.assert_allclose(
+            np.asarray(got[mode]), np.asarray(got["concat"]),
+            rtol=1e-6, atol=1e-7, err_msg=mode)

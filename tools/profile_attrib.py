@@ -152,12 +152,17 @@ def main():
         print(f"  {ms(ps):8.1f} ms {100*ps/total:5.1f}%  {loc:42s} {detail}")
 
     # drill-down: top individual ops whose source line matches --line
+    # (the special value UNMATCHED lists ops with no HLO metadata)
     if "--line" in sys.argv:
         want = sys.argv[sys.argv.index("--line") + 1]
         rows = []
         for name, ps in per_op.items():
             lhs = name.split(" = ")[0].lstrip("%")
             m = meta.get(lhs)
+            if want == "UNMATCHED":
+                if m is None:
+                    rows.append((ps, name, "?"))
+                continue
             if m and want in m[1]:
                 rows.append((ps, name, m[0]))
         rows.sort(reverse=True)
