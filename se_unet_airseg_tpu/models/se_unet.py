@@ -495,6 +495,19 @@ def _sse_block_s2d(p: Params, x, want_side: bool = True, n_gates: int = 1,
     else:
         wb = conv3_weight_to_s2d(p["conv"]["w"])
         bb = bias_to_s2d(p["conv"]["b"])
+    if use_epi and pre is not None and "epi_wgs" in pre and not bm:
+        from ..ops.pallas_s2d import dense_gated_block, whole_dense_enabled
+
+        if whole_dense_enabled():
+            # whole-block custom_vjp (input-only residuals): skips the
+            # checkpoint's epilogue replay in backward
+            e = dense_gated_block(x, wb, bb, pre["epi_wgs"],
+                                  pre["epi_oh"])
+            if not want_side:
+                return e, None
+            side = grouped_pointwise(e, p["side"]["w"][0, 0, 0],
+                                     p["side"]["b"])
+            return e, side
     e = conv3d(x, wb, bb, padding=1, batch_minor=bm)
     if use_epi and pre is not None and "epi_wgs" in pre:
         from ..ops.pallas_s2d import pick_gated_norm_block
@@ -600,6 +613,26 @@ def _sse_block_s2d_dil2(p: Params, x, want_side: bool = True,
         # conv-input copy, round-4 profile), and the grouped autodiff
         # dgrad/wgrad in training inherit the pathological emitter
         # (11.6 ms each at B=2) — dense everywhere, always.
+        if (not bm and use_epi and pre is not None and "epi_wgs" in pre
+                and ("wgroup" in pre or "wdense" in pre)):
+            from ..ops.pallas_s2d import (
+                dense_gated_block,
+                whole_dense_enabled,
+            )
+
+            if whole_dense_enabled():
+                # whole-block custom_vjp route (see _sse_block_s2d)
+                if "wgroup" in pre:
+                    wg_p, bg = pre["wgroup"], pre["bg"]
+                    ng = (8 * w.shape[3]) // wg_p.shape[3]
+                else:
+                    wg_p, bg, ng = pre["wdense"], pre["bg"], 1
+                e = dense_gated_block(x, wg_p, bg, pre["epi_wgs"],
+                                      pre["epi_oh"], ng)
+                if not want_side:
+                    return e, None
+                return e, grouped_pointwise(e, p["side"]["w"][0, 0, 0],
+                                            p["side"]["b"])
         if not bm and pre is not None and "wgroup" in pre:
             # partial-dense grouped kernel — (8/ng)x lift instead of
             # 8x (ops.s2d.dil2_group_weight A/Bs: conv ec3 -18%,
@@ -996,6 +1029,27 @@ def apply_fast(
             return bool(kw.get("use_epi")) and pre_ is not None \
                 and "epi_wgs" in pre_
 
+        def _dense_whole(kw):
+            # matches the dense_gated_block route in _sse_block_s2d:
+            # whole-block custom_vjp, residuals = inputs, no side
+            # output computed outside it
+            if kw.get("want_side", True) or kw.get("bm"):
+                return False
+            if not _phased_whole(kw):
+                return False
+            from ..ops.pallas_s2d import whole_dense_enabled
+
+            return whole_dense_enabled()
+
+        def _dil2_whole_dense(kw):
+            # matches the dense_gated_block route in _sse_block_s2d_dil2
+            if not _dense_whole(kw):
+                return False
+            if kw.get("mode", "grouped") == "pp" or kw.get("use_pallas"):
+                return False
+            pre_ = kw["pre"]
+            return "wgroup" in pre_ or "wdense" in pre_
+
         def _dil2_whole(kw):
             if not (_phased_whole(kw) and "wdense" in kw["pre"]
                     and os.environ.get("PALLAS_DIL2BM", "0") == "1"):
@@ -1024,9 +1078,10 @@ def apply_fast(
                 return jax.checkpoint(lambda p_, x_: f(p_, x_, **kw))(pb, xb)
             return wrapped
 
-        _sse_block_s2d = _wrap(globals()["_sse_block_s2d"])
-        _sse_block_s2d_dil2 = _wrap(globals()["_sse_block_s2d_dil2"],
-                                    _dil2_whole)
+        _sse_block_s2d = _wrap(globals()["_sse_block_s2d"], _dense_whole)
+        _sse_block_s2d_dil2 = _wrap(
+            globals()["_sse_block_s2d_dil2"],
+            lambda kw: _dil2_whole(kw) or _dil2_whole_dense(kw))
         _sse_block_s2d_phased = _wrap(globals()["_sse_block_s2d_phased"],
                                       _phased_whole)
         _sse_block = _wrap(globals()["_sse_block"])

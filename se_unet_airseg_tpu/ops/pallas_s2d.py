@@ -1384,6 +1384,61 @@ def gated_norm_block_tbm(y, wgs, oh):
     return jnp.transpose(e, (3, 0, 1, 2, 4))
 
 
+def whole_dense_enabled() -> bool:
+    """EPI_WHOLE_DENSE routes the dense/grouped s2d SSE blocks through
+    the whole-block custom_vjp below (trace-time flag, like every
+    EPI_*). Off by default until the on-chip A/B decides."""
+    return os.environ.get("EPI_WHOLE_DENSE", "0") == "1"
+
+
+def _dense_gated_forward(x, wb, bb, wgs, oh, groups):
+    from .conv import conv3d
+
+    y = conv3d(x, wb, bb, padding=1, groups=groups)
+    return pick_gated_norm_block(False)(y, wgs, oh)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dense_gated_block(x, wb, bb, wgs, oh, groups=1):
+    """Whole-block dense/grouped s2d SSE block: conv (XLA) + gathered
+    epilogue (Pallas, tbm-routed) with INPUT-ONLY vjp residuals.
+
+    Purpose: under cfg.remat the composition (conv + gated_norm_block)
+    is wrapped in jax.checkpoint, whose backward REPLAYS the whole
+    forward — including the epilogue's full-tensor Pallas pass whose
+    result the manual core backward never consumes (it recomputes the
+    normalized value from y itself). This block stores only its inputs
+    (= the remat boundary values, saved either way), replays just the
+    conv, and runs _gated_core_bwd directly — one fewer full-tensor
+    pass per block at identical HBM footprint. Pairs with
+    REMAT_SKIP_WHOLEBLOCK via _dense_whole in models/se_unet.py."""
+    return _dense_gated_forward(x, wb, bb, wgs, oh, groups)
+
+
+def _dgb_fwd(x, wb, bb, wgs, oh, groups):
+    return _dense_gated_forward(x, wb, bb, wgs, oh, groups), (
+        x, wb, bb, wgs, oh)
+
+
+def _dgb_bwd(groups, res, ct):
+    from .conv import conv3d
+
+    x, wb, bb, wgs, oh = res
+    y, vjp = jax.vjp(
+        lambda x_, w_, b_: conv3d(x_, w_, b_, padding=1, groups=groups),
+        x, wb, bb)
+    if manbwd_enabled():
+        dy, dwgs, doh = _gated_core_bwd(y, wgs, oh, ct, bm=False)
+    else:
+        _, evjp = jax.vjp(_xla_gated_norm_composition, y, wgs, oh)
+        dy, dwgs, doh = evjp(ct)
+    dx, dw, db = vjp(dy)
+    return dx, dw, db, dwgs, doh
+
+
+dense_gated_block.defvjp(_dgb_fwd, _dgb_bwd)
+
+
 def phase_slice_stats_ie(y, co):
     """Per-original-channel InstanceNorm sums of the 8 phase slices of
     a phased conv's EXT output, via inclusion-exclusion on boundary

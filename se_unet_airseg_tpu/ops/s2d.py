@@ -195,6 +195,12 @@ def se_gate_s2d(x: jnp.ndarray, w_se: jnp.ndarray) -> jnp.ndarray:
 def _max_pool_s2d_fwd_tree(x: jnp.ndarray) -> jnp.ndarray:
     *lead, c8 = x.shape
     c = c8 // 8
+    if os.environ.get("POOL_FWD") == "reshape":
+        # measured LOSER (round-5 voltime A/B: 38.17 vs 39.10
+        # tiles/s): the p-major lane regroup + single-axis reduce
+        # beats neither the chain's fusion nor its layout. Kept as
+        # the record; the chain stays the default.
+        return jnp.max(x.reshape(*lead, 8, c), axis=-2)
     out = x[..., :c]
     for p in range(1, 8):
         out = jnp.maximum(out, x[..., p * c : (p + 1) * c])

@@ -116,6 +116,32 @@ def test_phased_manual_bwd_pallas_gather(monkeypatch, gather):
                 err_msg=name)
 
 
+def test_model_grads_match_with_whole_dense_blocks(monkeypatch):
+    """EPI_WHOLE_DENSE=1 routes the dense/grouped s2d SSE blocks
+    through the whole-block custom_vjp (input-only residuals, conv
+    replay + manual core backward) — full-model gradients under remat
+    must match the composition route."""
+    from se_unet_airseg_tpu.models import SEUNetConfig, init_params
+    from se_unet_airseg_tpu.models.se_unet import apply_fast
+
+    cfg = SEUNetConfig(use_pallas_epi=True, remat=True)
+    params = init_params(jax.random.key(6), cfg)
+    x = jax.random.normal(jax.random.key(7), (1, 16, 16, 16, 2),
+                          jnp.float32)
+
+    def loss(p):
+        en, de = apply_fast(p, x, cfg=cfg)
+        return jnp.sum(jnp.square(en)) + jnp.sum(jnp.square(de))
+
+    monkeypatch.setenv("EPI_WHOLE_DENSE", "0")
+    g_ref = jax.grad(loss)(params)
+    monkeypatch.setenv("EPI_WHOLE_DENSE", "1")
+    g_whole = jax.grad(loss)(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_whole)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
 def test_model_grads_match_with_manual_bwd(monkeypatch):
     """apply_fast full-model gradients: EPI_MANBWD on vs off (both
     through the custom_vjp epilogue blocks on CPU)."""
